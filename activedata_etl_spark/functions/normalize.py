@@ -1,0 +1,151 @@
+"""Vectorized row normalization — the Spark analog of the reference's
+typed-JSON encoder and per-record transforms.
+
+- lang tagging from file extension: analog of ``extension()``/``path()`` at
+  ``activedata_etl/transforms/task_cluster_to_firefox_files.py:171-180`` —
+  pure Catalyst (regexp + map literal), zero Python.
+- content hashing: ``F.sha2(content, 256)`` — the per-row verification
+  invariant (BASELINE.json input_hint), JVM-side.
+- empty-string-is-null: the reference's ``Data``/mo_dots semantics treat ''
+  as missing (`vendor/mo_dots/nones.py`); normalized at ingest.
+- typed-JSON encoding: analog of ``typed_encode``
+  (`vendor/mo_json/typed_encoder.py:132-362`): values wrapped under type
+  sigils (~b~ ~n~ ~s~ ~N~ ~e~, `typed_encoder.py:436-441`), object keys
+  sorted (:411), dots in property names escaped to commas (:28-33), arrays
+  counted under ~e~ (:190-194).  Implemented as an Arrow ``pandas_udf``
+  (batch-vectorized transfer; the per-value walk is unavoidable for dynamic
+  JSON, exactly as in the reference — but it runs on Arrow batches, never
+  row-at-a-time through the serializer).
+"""
+
+from __future__ import annotations
+
+import json
+from itertools import chain
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# extension -> language tag (public common-knowledge mapping; the reference
+# derives the same kind of tag from file suffix)
+LANG_BY_EXT = {
+    "py": "python",
+    "js": "javascript",
+    "cpp": "cpp",
+    "h": "cpp",
+    "rs": "rust",
+    "java": "java",
+    "md": "markdown",
+    "json": "json",
+    "yml": "yaml",
+    "yaml": "yaml",
+    "c": "c",
+    "ts": "typescript",
+    "go": "go",
+    "html": "html",
+    "css": "css",
+    "sh": "shell",
+    "txt": "text",
+}
+
+TYPE_PREFIX = "~"
+BOOLEAN_TYPE = "~b~"
+NUMBER_TYPE = "~n~"
+STRING_TYPE = "~s~"
+NESTED_TYPE = "~N~"
+EXISTS_TYPE = "~e~"
+
+
+def lang_from_path(path: Column) -> Column:
+    """Language tag from the file extension of ``path``; null if none/unknown."""
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]+)$", 1))
+    mapping = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in LANG_BY_EXT.items())
+    )
+    return F.when(ext == "", F.lit(None).cast("string")).otherwise(mapping[ext])
+
+
+def content_sha256(content: Column) -> Column:
+    """Per-row verification hash — JVM built-in, no Python."""
+    return F.sha2(content, 256)
+
+
+def nullify_empty_strings(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """'' -> null for string columns (mo_dots missing-value semantics)."""
+    targets = columns or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    exprs = []
+    for f_ in df.schema.fields:
+        if f_.name in targets:
+            exprs.append(
+                F.when(F.col(f_.name) == "", F.lit(None)).otherwise(F.col(f_.name)).alias(f_.name)
+            )
+        else:
+            exprs.append(F.col(f_.name))
+    return df.select(*exprs)
+
+
+def normalize_batch(df: DataFrame) -> DataFrame:
+    """CDC batch normalization: empty->null, lang tag, content hash.
+
+    All Catalyst expressions — stays inside whole-stage codegen.
+    """
+    out = nullify_empty_strings(df, ["repo", "path", "commit", "lang", "content"])
+    out = out.withColumn(
+        "lang", F.coalesce(F.col("lang"), lang_from_path(F.col("path")))
+    )
+    out = out.withColumn("content_sha256", content_sha256(F.col("content")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# typed-JSON encoder (dynamic-document normalization)
+# ---------------------------------------------------------------------------
+
+def _encode_key(k: str) -> str:
+    # dots in property names escape to commas (typed_encoder.py:28-33)
+    return k.replace(".", ",")
+
+
+def _typed(value):
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return {BOOLEAN_TYPE: value}
+    if isinstance(value, (int, float)):
+        return {NUMBER_TYPE: value}
+    if isinstance(value, str):
+        return None if value == "" else {STRING_TYPE: value}
+    if isinstance(value, dict):
+        out = {EXISTS_TYPE: 1}
+        for k in sorted(value.keys()):  # key sort: typed_encoder.py:411
+            enc = _typed(value[k])
+            if enc is not None:
+                out[_encode_key(k)] = enc
+        return out
+    if isinstance(value, (list, tuple)):
+        items = [_typed(v) for v in value]
+        items = [v for v in items if v is not None]
+        # arrays nest under ~N~ with existence count under ~e~
+        return {EXISTS_TYPE: len(items), NESTED_TYPE: items}
+    return {STRING_TYPE: str(value)}
+
+
+@pandas_udf(T.StringType())
+def typed_encode_udf(js: pd.Series) -> pd.Series:
+    """JSON string -> typed-JSON string (sigil-wrapped, key-sorted).
+
+    Arrow-vectorized: one Python invocation per batch, not per row.
+    """
+    def enc(s):
+        if s is None or s == "":
+            return None
+        try:
+            v = json.loads(s)
+        except (ValueError, TypeError):
+            return None
+        return json.dumps(_typed(v), sort_keys=True, separators=(",", ":"))
+
+    return js.map(enc)

@@ -1,0 +1,310 @@
+"""Versioned MERGE INTO with exactly-once fencing — the CDC sink.
+
+Semantics (reference parity):
+- LWW upsert with version guard: ``WHEN MATCHED AND s.version >= t.version
+  THEN UPDATE/DELETE`` — the ES ``version_type=external_gte`` policy where
+  stale writes 409 and are swallowed
+  (`vendor/pyLibrary/env/elasticsearch.py:328-331,374-380`);
+- idempotent re-apply: replaying a whole batch is a no-op, both via the
+  ``batch_id`` epoch fence and via the >= guard
+  (`activedata_etl/sinks/s3_bucket.py:92-118` re-extend merge);
+- delete events remove the key (`vendor/mo_hg/apply.py:101-114` dev/null);
+- watermark-in-commit: per-partition high-watermark offsets are committed in
+  the SAME snapshot as the data (`activedata_etl/pulse_logger.py:126-138`
+  SYNCHRONIZATION_KEY; ack-after-write at `activedata_etl/push_to_es.py:86`);
+- lineage per batch/partition (`EtlHeadGenerator`,
+  `activedata_etl/transforms/__init__.py:210-239`).
+
+Physical plan: within-batch LWW reduce (map-side combining hash agg) ->
+bucket id (Iceberg-style hash bucket transform) -> FULL OUTER join against
+ONLY the touched buckets of the table -> copy-on-write rewrite of those
+buckets -> atomic snapshot swap.  Merge metrics ride the write job via
+``DataFrame.observe`` (zero extra passes).
+"""
+
+from __future__ import annotations
+
+import time
+from itertools import chain
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from activedata_etl_spark import ENGINE_REVISION
+from activedata_etl_spark.lake.schema_evolution import align_to_schema, merge_schemas
+from activedata_etl_spark.lake.table import BUCKET_COL, SnapshotTable
+from activedata_etl_spark.operators.lww import lww_reduce
+
+ENVELOPE_DROP = ["op", "partition"]  # journal envelope not stored in the table
+
+LINEAGE_SCHEMA = (
+    "batch_id long, partition int, min_offset long, max_offset long, "
+    "rows_read long, below_watermark long, rows_applied long, "
+    "deletes_applied long, merge_conflicts_resolved long, "
+    "duration_ms long, engine_revision string"
+)
+
+
+def apply_batch(
+    table: SnapshotTable,
+    batch: DataFrame,
+    batch_id: int,
+    *,
+    op_col: str = "op",
+    version_cols: tuple[str, ...] = ("commit_seq", "offset"),
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    salted: bool = False,
+) -> dict:
+    """Apply one micro-batch of change events; returns a lineage summary.
+
+    ``batch`` carries the journal envelope (partition, offset, op) plus the
+    record payload; everything except ``ENVELOPE_DROP`` is stored (version
+    columns stay in the table for the cross-batch >= guard).
+    """
+    t0 = time.time()
+    spark = table.spark
+    snap = table.snapshot()
+    key_cols = snap["key_cols"]
+
+    # ---- epoch fence: a replayed batch is a no-op ----------------------
+    if batch_id <= int(snap["batch_id"]):
+        return {"batch_id": batch_id, "skipped": True, "reason": "epoch_fenced"}
+
+    # ---- watermark filter: already-applied offsets drop ----------------
+    wm = table.watermarks()
+    if wm:
+        wm_map = F.create_map(
+            *chain.from_iterable((F.lit(p), F.lit(o)) for p, o in wm.items())
+        )
+        below = F.col(offset_col) <= F.coalesce(
+            wm_map[F.col(partition_col)], F.lit(-1)
+        )
+    else:
+        below = F.lit(False)
+
+    flagged = batch.withColumn("__below", below)
+    flagged.persist()
+    try:
+        # per-partition lineage pre-aggregate (one small job on the batch)
+        part_rows = (
+            flagged.groupBy(partition_col)
+            .agg(
+                F.min(offset_col).alias("min_offset"),
+                F.max(offset_col).alias("max_offset"),
+                F.count(F.lit(1)).alias("rows_read"),
+                F.sum(F.col("__below").cast("long")).alias("below_watermark"),
+            )
+            .collect()
+        )
+        live = flagged.where(~F.col("__below")).drop("__below")
+
+        stored_cols = [c for c in batch.columns if c not in ENVELOPE_DROP]
+        new_wm = dict(wm)
+        for r in part_rows:
+            p = int(r[partition_col])
+            new_wm[p] = max(new_wm.get(p, -1), int(r["max_offset"]))
+
+        total_read = sum(r["rows_read"] for r in part_rows)
+        total_below = sum(r["below_watermark"] for r in part_rows)
+
+        if total_read == total_below:
+            # nothing live: metadata-only commit (fence + watermark advance)
+            return _commit(
+                table, snap, batch_id, new_wm, part_rows, None, None,
+                schema_json=snap["schema"], changes=[],
+                applied=0, deletes=0, conflicts=0, t0=t0,
+                partition_col=partition_col,
+            )
+
+        # ---- schema evolution pre-pass (transactional with this commit) --
+        from pyspark.sql import types as T
+
+        table_schema = T.StructType.fromJson(snap["schema"])
+        batch_stored_schema = T.StructType(
+            [f for f in live.schema.fields if f.name in stored_cols]
+        )
+        merged_schema, changes = merge_schemas(table_schema, batch_stored_schema)
+
+        # ---- within-batch LWW reduce (map-side combine handles skew) -----
+        if salted:
+            from activedata_etl_spark.operators.lww import lww_reduce_salted
+            reduced = lww_reduce_salted(live, key_cols, list(version_cols))
+        else:
+            reduced = lww_reduce(live, key_cols, list(version_cols))
+
+        have = {f.name: f for f in reduced.schema.fields}
+        src_cols = []
+        for f in merged_schema.fields:
+            if f.name in have:
+                c = F.col(f.name)
+                src_cols.append(
+                    c.cast(f.dataType).alias(f.name)
+                    if have[f.name].dataType != f.dataType else c
+                )
+            else:
+                src_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        src = reduced.select(*src_cols, F.col(op_col).alias("__op"))
+        src = table.bucket_of(src)
+
+        touched = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+
+        out_names = [f.name for f in merged_schema.fields]
+
+        if not table.existing_bucket_paths(touched):
+            # no target data in any touched bucket: pure insert, no join.
+            # (A LocalRelation-folded plan can drop CollectMetrics, so count
+            #  the written output instead — exact, and this path only runs
+            #  for all-fresh buckets.)
+            is_delete = F.col("__op") == "delete"
+            result = src.where(~is_delete).select(*out_names, BUCKET_COL)
+            new_version = snap["version"] + 1
+            rel = table.write_buckets(result, new_version)
+            import os as _os
+            try:
+                applied = int(
+                    spark.read.parquet(_os.path.join(table.location, rel)).count()
+                )
+            except Exception:  # empty write -> no readable parquet footers
+                applied = 0
+            return _commit(
+                table, snap, batch_id, new_wm, part_rows, touched, rel,
+                schema_json=merged_schema.jsonValue(), changes=changes,
+                applied=applied, deletes=0, conflicts=0, t0=t0,
+                partition_col=partition_col,
+            )
+
+        obs = Observation(f"merge_b{batch_id}")
+
+        # ---- merge against touched buckets only (copy-on-write) ----------
+        tgt = align_to_schema(table.read(buckets=touched), merged_schema)
+        tgt = table.bucket_of(tgt).withColumn("__present", F.lit(True))
+
+        s = src.select([F.col(c).alias(f"s_{c}") for c in src.columns])
+        t = tgt.select([F.col(c).alias(f"t_{c}") for c in tgt.columns])
+        cond = [s[f"s_{k}"].eqNullSafe(t[f"t_{k}"]) for k in key_cols]
+        joined = s.join(t, cond, "full_outer")
+
+        s_ver = F.struct(*[F.col(f"s_{c}") for c in version_cols])
+        t_ver = F.struct(*[F.col(f"t_{c}") for c in version_cols])
+        s_present = F.col(f"s_{key_cols[0]}").isNotNull()
+        t_present = F.col("t___present").isNotNull()
+        src_wins = s_present & (~t_present | (s_ver >= t_ver))
+        is_delete = F.col("s___op") == "delete"
+
+        joined = joined.observe(
+            obs,
+            F.sum((t_present & s_present & ~src_wins).cast("long")).alias("conflicts"),
+            F.sum((src_wins & is_delete & t_present).cast("long")).alias("deletes"),
+            F.sum((src_wins & ~is_delete).cast("long")).alias("applied"),
+        )
+
+        out_cols = [
+            F.when(src_wins, F.col(f"s_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
+            for c in [f.name for f in merged_schema.fields]
+        ]
+        out_bucket = F.when(src_wins, F.col(f"s_{BUCKET_COL}")).otherwise(
+            F.col(f"t_{BUCKET_COL}")
+        ).alias(BUCKET_COL)
+        keep = (src_wins & ~is_delete) | (~src_wins & t_present)
+        result = joined.where(keep).select(*out_cols, out_bucket)
+
+        new_version = snap["version"] + 1
+        rel = table.write_buckets(result, new_version)
+        try:
+            m = obs.get
+        except Exception:
+            # CollectMetrics can be optimized away (plan folded to a local
+            # relation) — recompute the three counters in one small pass.
+            m = joined.agg(
+                F.sum((t_present & s_present & ~src_wins).cast("long")).alias("conflicts"),
+                F.sum((src_wins & is_delete & t_present).cast("long")).alias("deletes"),
+                F.sum((src_wins & ~is_delete).cast("long")).alias("applied"),
+            ).first().asDict()
+
+        return _commit(
+            table, snap, batch_id, new_wm, part_rows, touched, rel,
+            schema_json=merged_schema.jsonValue(), changes=changes,
+            applied=int(m["applied"] or 0), deletes=int(m["deletes"] or 0),
+            conflicts=int(m["conflicts"] or 0), t0=t0,
+            partition_col=partition_col,
+        )
+    finally:
+        flagged.unpersist()
+
+
+def _commit(
+    table: SnapshotTable,
+    snap: dict,
+    batch_id: int,
+    new_wm: dict,
+    part_rows,
+    touched,
+    data_rel,
+    *,
+    schema_json,
+    changes,
+    applied: int,
+    deletes: int,
+    conflicts: int,
+    t0: float,
+    partition_col: str,
+) -> dict:
+    new_version = snap["version"] + 1
+    duration_ms = int((time.time() - t0) * 1000)
+
+    lineage_rows = [
+        (
+            batch_id, int(r[partition_col]), int(r["min_offset"]),
+            int(r["max_offset"]), int(r["rows_read"]), int(r["below_watermark"]),
+            None, None, None, duration_ms, ENGINE_REVISION,
+        )
+        for r in part_rows
+    ] + [
+        (batch_id, -1, None, None,
+         sum(int(r["rows_read"]) for r in part_rows),
+         sum(int(r["below_watermark"]) for r in part_rows),
+         applied, deletes, conflicts, duration_ms, ENGINE_REVISION)
+    ]
+    lineage_rel = f"lineage/v{new_version}"
+    import os
+    table.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table.location, lineage_rel))
+
+    new = dict(snap)
+    new["version"] = new_version
+    new["parent"] = snap["version"]
+    new["ts_ms"] = int(time.time() * 1000)
+    new["schema"] = schema_json
+    new["batch_id"] = batch_id
+    new["watermarks"] = {str(k): int(v) for k, v in new_wm.items()}
+    new["lineage_dirs"] = snap.get("lineage_dirs", []) + [lineage_rel]
+    bucket_dirs = dict(snap["bucket_dirs"])
+    dir_versions = dict(snap["dir_versions"])
+    if touched is not None and data_rel is not None:
+        for b in touched:
+            bucket_dirs[str(b)] = data_rel
+        dir_versions[data_rel] = new_version
+    new["bucket_dirs"] = bucket_dirs
+    new["dir_versions"] = dir_versions
+    if changes:
+        new.setdefault("properties", {})
+        new["properties"][f"schema_changes_v{new_version}"] = changes
+    table._commit_snapshot(new)
+
+    return {
+        "batch_id": batch_id,
+        "version": new_version,
+        "skipped": False,
+        "rows_read": sum(int(r["rows_read"]) for r in part_rows),
+        "below_watermark": sum(int(r["below_watermark"]) for r in part_rows),
+        "rows_applied": applied,
+        "deletes_applied": deletes,
+        "merge_conflicts_resolved": conflicts,
+        "schema_changes": changes,
+        "touched_buckets": len(touched or []),
+        "duration_ms": duration_ms,
+    }

@@ -1,0 +1,275 @@
+"""SnapshotTable — an ACID, snapshot-isolated lake table over parquet.
+
+This sandbox ships no Iceberg/Delta runtime jars and has no network, so the
+engine implements the same contract itself, Iceberg-style:
+
+- a table is a directory; its state is an immutable **snapshot** JSON under
+  ``metadata/v{N}.json`` listing the data files, the schema, the exactly-once
+  state (last applied ``batch_id`` + per-journal-partition watermarks), and a
+  pointer to its parent snapshot;
+- a commit writes the new snapshot file then **atomically swaps** the
+  ``metadata/_current`` pointer (``os.replace``) — readers always see a
+  complete snapshot, never a partial write (single-writer per table; a real
+  deployment swaps this pointer through a catalog CAS, exactly as Iceberg
+  does — the rest of the engine is unchanged);
+- data is hash-bucketed by the key columns into ``n_buckets`` buckets
+  (Iceberg ``bucket(N, key)`` partition transform).  A MERGE is
+  **copy-on-write at bucket granularity**: only buckets containing changed
+  keys are rewritten; untouched buckets keep their old files.  At 10^10 rows
+  the per-batch write cost is O(touched buckets), not O(table);
+- watermark-in-commit: the per-partition high-watermark offsets live INSIDE
+  the snapshot, so data and watermark commit atomically together — the analog
+  of the reference persisting ``SYNCHRONIZATION_KEY`` next to the data
+  (`activedata_etl/pulse_logger.py:126-138`) and acking SQS only after the
+  sink write (`activedata_etl/push_to_es.py:86`).
+
+Reference parity: LWW upsert semantics from ``_id + version_type=
+external_gte`` (`vendor/pyLibrary/env/elasticsearch.py:328-331,374-380`),
+idempotent block merge (`activedata_etl/sinks/s3_bucket.py:92-118`), rollover
+partitioning/expiry (`vendor/pyLibrary/env/rollover_index.py:69-263`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from activedata_etl_spark.lake.schema_evolution import align_to_schema
+
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    """Single-writer ACID table: snapshot metadata + bucketed parquet data."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self.meta_dir = os.path.join(self.location, "metadata")
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        *,
+        n_buckets: int = 64,
+        properties: dict | None = None,
+    ) -> "SnapshotTable":
+        t = cls(spark, location)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        if t.current_version() is not None:
+            raise FileExistsError(f"table already exists at {location}")
+        snap = {
+            "version": 0,
+            "parent": None,
+            "ts_ms": int(time.time() * 1000),
+            "schema": schema.jsonValue(),
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "batch_id": -1,
+            "watermarks": {},
+            "bucket_dirs": {},      # bucket id (str) -> data dir relpath
+            "dir_versions": {},     # data dir relpath -> writer snapshot version
+            "lineage_dirs": [],
+            "properties": properties or {},
+        }
+        t._commit_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, spark: SparkSession, location: str) -> bool:
+        return os.path.exists(os.path.join(location, "metadata", "_current"))
+
+    # ------------------------------------------------------------- metadata
+
+    def current_version(self) -> int | None:
+        p = os.path.join(self.meta_dir, "_current")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshot at {self.location}")
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot()["schema"])
+
+    def watermarks(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self.snapshot()["watermarks"].items()}
+
+    def last_batch_id(self) -> int:
+        return int(self.snapshot()["batch_id"])
+
+    def _commit_snapshot(self, snap: dict) -> None:
+        """Write v{N}.json then atomically swap the _current pointer."""
+        v = snap["version"]
+        path = os.path.join(self.meta_dir, f"v{v}.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+        cur_tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
+        with open(cur_tmp, "w") as f:
+            f.write(str(v))
+        os.replace(cur_tmp, os.path.join(self.meta_dir, "_current"))
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Scan the table (optionally bucket-pruned), aligned to the current
+        schema.
+
+        Data dirs written by older snapshots may have narrower physical
+        schemas (pre-widening); each same-version group is read in one
+        parquet scan and upcast on the fly — column pruning and predicate
+        pushdown still reach the parquet reader because alignment is a plain
+        projection on top of the scan.
+        """
+        snap = self.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+        bucket_dirs = snap["bucket_dirs"]
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            bucket_dirs = {b: d for b, d in bucket_dirs.items() if b in wanted}
+
+        # group bucket paths by the snapshot version that wrote them
+        by_version: dict[int, list[str]] = {}
+        for b, d in bucket_dirs.items():
+            ver = snap["dir_versions"][d]
+            by_version.setdefault(ver, []).append(
+                os.path.join(self.location, d, f"{BUCKET_COL}={b}")
+            )
+        parts: list[DataFrame] = []
+        for _, paths in sorted(by_version.items()):
+            existing = [p for p in paths if os.path.exists(p)]
+            if not existing:
+                continue
+            raw = self.spark.read.parquet(*existing)
+            parts.append(align_to_schema(raw, schema))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def existing_bucket_paths(self, buckets: list[int]) -> list[str]:
+        """Physical data paths among ``buckets`` (a delete can empty a bucket,
+        leaving a dangling metadata pointer — those are skipped)."""
+        snap = self.snapshot()
+        out = []
+        for b in buckets:
+            d = snap["bucket_dirs"].get(str(b))
+            if d is None:
+                continue
+            p = os.path.join(self.location, d, f"{BUCKET_COL}={b}")
+            if os.path.exists(p):
+                out.append(p)
+        return out
+
+    def bucket_of(self, df: DataFrame) -> DataFrame:
+        snap = self.snapshot()
+        return df.withColumn(
+            BUCKET_COL, _bucket_expr(snap["key_cols"], snap["n_buckets"])
+        )
+
+    # ------------------------------------------------------------ data write
+
+    def write_buckets(self, df: DataFrame, version: int) -> str:
+        """Write ``df`` (must carry BUCKET_COL) under data/v{version}.
+
+        One shuffle on the bucket column so each bucket is written by one
+        task (bucket count bounds task count; AQE coalesces small ones).
+        Returns the data dir relpath.
+        """
+        rel = f"data/v{version}"
+        out = os.path.join(self.location, rel)
+        (
+            df.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        return rel
+
+    # -------------------------------------------------------- maintenance
+
+    def compact(self) -> int:
+        """Rewrite every bucket at the current schema in one new snapshot
+        (analog of re-ETL block consolidation; removes read-time union/cast)."""
+        snap = self.snapshot()
+        new_version = snap["version"] + 1
+        df = self.read()
+        df = self.bucket_of(df)
+        rel = self.write_buckets(df, new_version)
+        new = dict(snap)
+        new["version"] = new_version
+        new["parent"] = snap["version"]
+        new["ts_ms"] = int(time.time() * 1000)
+        new["bucket_dirs"] = {b: rel for b in snap["bucket_dirs"]}
+        new["dir_versions"] = {rel: new_version}
+        self._commit_snapshot(new)
+        return new_version
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop snapshot files and data dirs unreachable from the newest
+        ``keep_last`` snapshots (Iceberg ``expireSnapshots`` analog)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        live_dirs: set[str] = set()
+        for v in keep_versions:
+            p = os.path.join(self.meta_dir, f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                s = json.load(f)
+            live_dirs.update(s["bucket_dirs"].values())
+            live_dirs.update(s.get("lineage_dirs", []))
+        removed = []
+        data_root = os.path.join(self.location, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                rel = f"data/{d}"
+                if rel not in live_dirs:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed.append(rel)
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                v = int(fn[1:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(self.meta_dir, fn))
+                    removed.append(f"metadata/{fn}")
+        return removed
+
+    # ---------------------------------------------------------------- misc
+
+    def read_lineage(self) -> DataFrame:
+        snap = self.snapshot()
+        dirs = [os.path.join(self.location, d) for d in snap.get("lineage_dirs", [])]
+        dirs = [d for d in dirs if os.path.exists(d)]
+        if not dirs:
+            raise FileNotFoundError("no lineage recorded yet")
+        return self.spark.read.parquet(*dirs)

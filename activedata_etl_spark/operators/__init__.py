@@ -1,0 +1,5 @@
+from activedata_etl_spark.operators.lww import (  # noqa: F401
+    lww_reduce,
+    lww_reduce_salted,
+    lww_reduce_window,
+)

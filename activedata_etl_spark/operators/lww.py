@@ -1,0 +1,95 @@
+"""Last-writer-wins dedup — the CDC reduce at the heart of the engine.
+
+Semantics come from the reference's external-version upsert: documents carry
+``_id`` + ``version`` and ES keeps the highest version
+(`vendor/pyLibrary/env/elasticsearch.py:328-331,374-380`); idempotent block
+re-writes merge by key keeping the newest (`activedata_etl/sinks/
+s3_bucket.py:92-118`).  Here: per (repo, path) keep the event with the
+largest (commit_seq, offset).
+
+Three physical strategies, same semantics:
+
+- ``lww_reduce``           groupBy + max_by(struct) — Spark's hash aggregate
+                           does partial (map-side) + final aggregation, i.e.
+                           a built-in two-phase reduce: a hot key collapses to
+                           ONE row per map task before the shuffle, so skew in
+                           the input never reaches the wire.  DEFAULT.
+- ``lww_reduce_salted``    explicit two-phase with a salt column — the same
+                           shape spelled out (useful where partial agg is
+                           unavailable, and as the skew-evidence path for the
+                           bench's with/without-salting comparison).
+- ``lww_reduce_window``    row_number() over (key ORDER BY version DESC) —
+                           mirrors the reference's per-key ordering
+                           (`vendor/jx_python/jx.py:945-1018` window executor);
+                           shuffles every row, kept for equivalence testing.
+
+Property (tested): the result is independent of input partitioning and of
+batch split, because (commit_seq, offset) is a total order per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+DEFAULT_KEYS = ["repo", "path"]
+DEFAULT_VERSION = ["commit_seq", "offset"]
+
+
+def _version_struct(version_cols: list[str]):
+    return F.struct(*[F.col(c) for c in version_cols])
+
+
+def lww_reduce(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    version_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per key: the one with max (version_cols...), all columns kept."""
+    keys = keys or DEFAULT_KEYS
+    version_cols = version_cols or DEFAULT_VERSION
+    payload = [c for c in df.columns if c not in keys]
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), _version_struct(version_cols))
+    out = df.groupBy(*keys).agg(winner.alias("__w"))
+    return out.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+
+
+def lww_reduce_salted(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    version_cols: list[str] | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Explicit two-phase LWW: reduce per (key, salt) then per key.
+
+    salt = pmod(xxhash64(version cols), B) spreads one hot key over B
+    reducers in phase 1; phase 2 sees at most B rows per key.
+    """
+    keys = keys or DEFAULT_KEYS
+    version_cols = version_cols or DEFAULT_VERSION
+    payload = [c for c in df.columns if c not in keys]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in version_cols]), F.lit(salt_buckets))
+    )
+    winner = F.max_by(F.struct(*[F.col(c) for c in payload]), _version_struct(version_cols))
+    phase1 = salted.groupBy(*keys, "__salt").agg(winner.alias("__w"))
+    phase1 = phase1.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+    phase2 = phase1.groupBy(*keys).agg(winner.alias("__w"))
+    return phase2.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+
+
+def lww_reduce_window(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    version_cols: list[str] | None = None,
+) -> DataFrame:
+    """row_number()==1 formulation (reference-mirror; full shuffle)."""
+    keys = keys or DEFAULT_KEYS
+    version_cols = version_cols or DEFAULT_VERSION
+    w = W.partitionBy(*keys).orderBy(*[F.desc(c) for c in version_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

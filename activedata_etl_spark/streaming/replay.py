@@ -1,0 +1,153 @@
+"""Replay drivers: chunked batch replay and Structured Streaming tail.
+
+Both feed the same exactly-once sink (``lake.merge.apply_batch``) — the
+replayed analog of the reference's ETL tick
+(`activedata_etl/etl.py:269-350`: dequeue -> transform -> sink -> ack), with
+the SQS commit/rollback boundary replaced by the epoch-fenced snapshot
+commit.
+
+- ``replay_journal``: deterministic offset-range chunks; batch_id = chunk
+  index, so a killed-and-restarted replay (or a redelivered chunk) is fenced
+  to a no-op — the backfill-by-key-range path of the reference
+  (`activedata_etl/etl.py:457-512` ``etl_one``/``parse_id_argument``).
+- ``stream_journal``: ``readStream`` file source + ``foreachBatch`` with a
+  checkpoint; Spark's epochId is the fence token.  ``availableNow`` replays
+  to the end of the journal; kill + resume from checkpoint converges because
+  the sink is idempotent.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from activedata_etl_spark.functions.normalize import normalize_batch
+from activedata_etl_spark.lake.merge import ENVELOPE_DROP, apply_batch
+from activedata_etl_spark.lake.table import SnapshotTable
+
+
+def _stored_schema(journal_schema: T.StructType) -> T.StructType:
+    """Table schema for a journal: payload + version cols + content hash."""
+    fields = [f for f in journal_schema.fields if f.name not in ENVELOPE_DROP]
+    # offset participates in the LWW version guard, so it IS stored
+    names = {f.name for f in fields}
+    out = list(fields)
+    if "offset" not in names:
+        out.append(T.StructField("offset", T.LongType(), True))
+    out.append(T.StructField("content_sha256", T.StringType(), True))
+    return T.StructType(out)
+
+
+def ensure_table(
+    spark: SparkSession,
+    table_location: str,
+    journal_schema: T.StructType,
+    *,
+    n_buckets: int = 64,
+) -> SnapshotTable:
+    if SnapshotTable.exists(spark, table_location):
+        return SnapshotTable(spark, table_location)
+    return SnapshotTable.create(
+        spark,
+        table_location,
+        _stored_schema(journal_schema),
+        key_cols=["repo", "path"],
+        n_buckets=n_buckets,
+    )
+
+
+def replay_journal(
+    spark: SparkSession,
+    journal_dir: str,
+    table_location: str,
+    *,
+    chunk_events: int = 250_000,
+    max_batches: int | None = None,
+    salted: bool = False,
+    n_buckets: int = 64,
+) -> dict:
+    """Chunked batch replay of the whole journal (availableNow analog).
+
+    Chunks are global offset ranges — offsets are monotone within each
+    journal partition, so per-partition delivery order is preserved while
+    commit_seq stays out-of-order (bounded-delay permutation), exercising the
+    external_gte guard.
+    """
+    journal = spark.read.option("mergeSchema", "true").parquet(journal_dir)
+    table = ensure_table(spark, table_location, journal.schema, n_buckets=n_buckets)
+
+    max_offset = journal.select(F.max("offset")).first()[0]
+    if max_offset is None:
+        return {"batches": 0, "events": 0, "elapsed_sec": 0.0, "events_per_sec": 0.0}
+
+    n_chunks = int(max_offset // chunk_events) + 1
+    done_through = table.last_batch_id()
+    t0 = time.time()
+    total_read = total_applied = ran = 0
+    summaries = []
+    for i in range(n_chunks):
+        if i <= done_through:
+            continue  # resume: already committed
+        if max_batches is not None and ran >= max_batches:
+            break
+        lo, hi = i * chunk_events, (i + 1) * chunk_events - 1
+        chunk = journal.where(F.col("offset").between(lo, hi))
+        batch = normalize_batch(chunk)
+        s = apply_batch(table, batch, i, salted=salted)
+        summaries.append(s)
+        if not s.get("skipped"):
+            total_read += s["rows_read"]
+            total_applied += s["rows_applied"]
+        ran += 1
+    elapsed = time.time() - t0
+    return {
+        "batches": ran,
+        "events": total_read,
+        "rows_applied": total_applied,
+        "elapsed_sec": round(elapsed, 3),
+        "events_per_sec": round(total_read / elapsed, 1) if elapsed > 0 else 0.0,
+        "summaries": summaries,
+    }
+
+
+def stream_journal(
+    spark: SparkSession,
+    journal_dir: str,
+    table_location: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+    salted: bool = False,
+    n_buckets: int = 64,
+    timeout_sec: float | None = None,
+):
+    """Structured Streaming tail over the journal directory.
+
+    foreachBatch gives the transactional boundary; epochId is the fence.
+    Returns the (terminated, when available_now) StreamingQuery.
+    """
+    static_schema = spark.read.option("mergeSchema", "true").parquet(journal_dir).schema
+    table = ensure_table(spark, table_location, static_schema, n_buckets=n_buckets)
+
+    stream = (
+        spark.readStream.schema(static_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(journal_dir + "/*")
+    )
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        apply_batch(table, normalize_batch(df), epoch_id, salted=salted)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(timeout=timeout_sec)
+    return q

@@ -1,0 +1,132 @@
+"""SnapshotTable unit tests: schema evolution, compaction, expiry, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from activedata_etl_spark.lake.merge import apply_batch
+from activedata_etl_spark.lake.schema_evolution import (
+    SchemaMergeError,
+    merge_schemas,
+)
+from activedata_etl_spark.lake.table import SnapshotTable
+from activedata_etl_spark.streaming.replay import ensure_table
+
+COLS_V1 = (
+    "partition int, offset long, commit_seq long, op string, repo string, "
+    "path string, commit string, lang string, content string, ts timestamp"
+)
+COLS_V2 = COLS_V1 + ", mode string"
+
+
+def _norm(df):
+    from activedata_etl_spark.functions.normalize import normalize_batch
+
+    return normalize_batch(df)
+
+
+def test_merge_schemas_widening():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
+    b = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("z", T.BooleanType())])
+    merged, changes = merge_schemas(a, b)
+    assert [f.dataType.simpleString() for f in merged.fields] == ["double", "string", "boolean"]
+    assert any(c.startswith("widen x") for c in changes)
+    assert any(c.startswith("add z") for c in changes)
+
+    c = T.StructType([T.StructField("x", T.StructType([]))])
+    with pytest.raises(SchemaMergeError):
+        merge_schemas(a, c)
+
+
+def test_add_column_mid_stream(spark, tmp_path):
+    loc = str(tmp_path / "lake_evo")
+    b1 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None)], COLS_V1
+    )
+    table = ensure_table(spark, loc, b1.schema)
+    apply_batch(table, _norm(b1), 0)
+    assert "mode" not in [f.name for f in table.schema().fields]
+
+    b2 = spark.createDataFrame(
+        [(0, 1, 1, "insert", "r", "b.py", "d" * 12, None, "Y", None, "100644")],
+        COLS_V2,
+    )
+    s = apply_batch(table, _norm(b2), 1)
+    assert any(c.startswith("add mode") for c in s["schema_changes"])
+    got = {r["path"]: r["mode"] for r in table.read().collect()}
+    assert got == {"a.py": None, "b.py": "100644"}  # old rows read as null
+
+
+def test_widen_column_mid_stream(spark, tmp_path):
+    loc = str(tmp_path / "lake_widen")
+    s1 = COLS_V1 + ", size int"
+    s2 = COLS_V1 + ", size double"
+    b1 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None, 7)], s1
+    )
+    table = ensure_table(spark, loc, b1.schema)
+    apply_batch(table, _norm(b1), 0)
+    b2 = spark.createDataFrame(
+        [(0, 1, 1, "insert", "r", "b.py", "d" * 12, None, "Y", None, 2.5)], s2
+    )
+    s = apply_batch(table, _norm(b2), 1)
+    assert any("widen size: int -> double" in c for c in s["schema_changes"])
+    got = dict((r["path"], r["size"]) for r in table.read().collect())
+    assert got == {"a.py": 7.0, "b.py": 2.5}
+
+
+def test_compact_and_expire(spark, tmp_path):
+    import os
+
+    loc = str(tmp_path / "lake_compact")
+    b1 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None)], COLS_V1
+    )
+    table = ensure_table(spark, loc, b1.schema)
+    apply_batch(table, _norm(b1), 0)
+    b2 = spark.createDataFrame(
+        [(0, 1, 1, "insert", "r", "b.js", "d" * 12, None, "Y", None)], COLS_V1
+    )
+    apply_batch(table, _norm(b2), 1)
+    before = table.read().orderBy("path").toPandas()
+
+    v = table.compact()
+    after = table.read().orderBy("path").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+    assert len(set(table.snapshot()["dir_versions"].values())) == 1
+
+    removed = table.expire_snapshots(keep_last=1)
+    assert removed
+    still = table.read().orderBy("path").toPandas()
+    pd.testing.assert_frame_equal(before, still)
+    assert table.current_version() == v
+
+
+def test_streaming_replay_and_resume(spark, tmp_path):
+    from activedata_etl_spark.journal import read_journal, write_journal
+    from activedata_etl_spark.streaming.replay import stream_journal
+    from tests.oracle import assert_table_matches_oracle
+
+    jd = str(tmp_path / "journal")
+    write_journal(spark, 2048, jd)
+    pdf = read_journal(spark, jd).toPandas()
+
+    loc = str(tmp_path / "lake_stream")
+    ckpt = str(tmp_path / "ckpt")
+    stream_journal(spark, jd, loc, ckpt, max_files_per_trigger=1, timeout_sec=120)
+    table = SnapshotTable(spark, loc)
+    assert_table_matches_oracle(table.read(), pdf)
+    v = table.current_version()
+
+    # resume from checkpoint: no new files -> no state change
+    stream_journal(spark, jd, loc, ckpt, max_files_per_trigger=1, timeout_sec=120)
+    assert_table_matches_oracle(table.read(), pdf)
+
+    # fresh checkpoint, same data: every epoch is fenced/watermarked to no-op
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream_journal(spark, jd, loc, ckpt2, timeout_sec=120)
+    assert_table_matches_oracle(table.read(), pdf)

@@ -1,0 +1,79 @@
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.functions.normalize import (
+    lang_from_path,
+    nullify_empty_strings,
+    typed_encode_udf,
+)
+from activedata_etl_spark.journal import journal_df
+from activedata_etl_spark.operators.lww import (
+    lww_reduce,
+    lww_reduce_salted,
+    lww_reduce_window,
+)
+
+
+def test_lang_from_path(spark):
+    df = spark.createDataFrame(
+        [("a/b.py",), ("x/y.CPP",), ("noext",), ("weird.zzz",), ("m/d.yml",)],
+        "path string",
+    )
+    got = [r[0] for r in df.select(lang_from_path(F.col("path"))).collect()]
+    assert got == ["python", "cpp", None, None, "yaml"]
+
+
+def test_nullify_empty_strings(spark):
+    df = spark.createDataFrame([("", "x", 1)], "a string, b string, c int")
+    row = nullify_empty_strings(df).first()
+    assert row["a"] is None and row["b"] == "x" and row["c"] == 1
+
+
+def test_typed_encode_golden(spark):
+    """Golden cases per vendor/mo_json/typed_encoder.py semantics."""
+    docs = [
+        json.dumps({"b": True, "n": 3, "s": "hi"}),
+        json.dumps({"outer.dot": {"z": 1, "a": "x"}}),
+        json.dumps({"arr": [1, "two"]}),
+        json.dumps({"empty": ""}),
+        None,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "js string")
+    got = [r[0] for r in df.select(typed_encode_udf("js")).collect()]
+    assert json.loads(got[0]) == {
+        "~e~": 1, "b": {"~b~": True}, "n": {"~n~": 3}, "s": {"~s~": "hi"}
+    }
+    assert json.loads(got[1]) == {
+        "~e~": 1,
+        "outer,dot": {"~e~": 1, "a": {"~s~": "x"}, "z": {"~n~": 1}},
+    }
+    assert json.loads(got[2]) == {
+        "~e~": 1, "arr": {"~e~": 2, "~N~": [{"~n~": 1}, {"~s~": "two"}]}
+    }
+    # empty string is missing -> property omitted
+    assert json.loads(got[3]) == {"~e~": 1}
+    assert got[4] is None
+
+
+def test_lww_strategies_agree(spark):
+    j = journal_df(spark, 2048)
+    a = lww_reduce(j).orderBy("repo", "path").toPandas()
+    b = lww_reduce_window(j).orderBy("repo", "path").toPandas()
+    c = lww_reduce_salted(j, salt_buckets=8).orderBy("repo", "path").toPandas()
+    import pandas as pd
+
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(a[cols], b[cols].reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[cols], c[cols].reset_index(drop=True))
+
+
+def test_lww_partitioning_invariance(spark):
+    j = journal_df(spark, 1024)
+    a = lww_reduce(j.repartition(17)).orderBy("repo", "path").toPandas()
+    b = lww_reduce(j.coalesce(1)).orderBy("repo", "path").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
