@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      flagship query on sf0.001 (CDC LWW latest-state + enrichment)
+queries()    every implemented operator from SURVEY.md §2 (plans/queries.py)
+oracle_sql() matching DuckDB SQL; hash-/Python-defined ops (minhash-LSH,
+             simhash, hyperplane ANN, typed-JSON UDF) are rows-only and are
+             verified against exact counterparts in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from activedata_etl_spark.plans.queries import (  # noqa: E402
+    ORACLE_SQL,
+    SPARK_QUERIES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: LWW latest-event state per user (the CDC reduce
+    semantics of the engine) enriched with a per-type histogram."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users_latest"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,106 @@
+"""Text-analysis functions for a training-data pipeline, all Catalyst
+expressions (JVM-side, codegen'd; no Python in the hot path).
+
+These generalize the reference's per-record text munging (log line parsing,
+`activedata_etl/transforms/unittest_logs_to_sink.py:126-372`; field scrubbing
+`vendor/pyLibrary/env/rollover_index.py:266-294`) into the standard
+web-scale-corpus operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Every formula here is deliberately expressible in ANSI SQL so the DuckDB
+oracle can replicate it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny public stopword lists per language (heuristic n-gram language ID)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (BPE-ish regex variant below)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: words, numbers, and punctuation as separate tokens."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    return n / F.greatest(F.length(text), F.lit(1))
+
+
+def upper_ratio(text: Column) -> Column:
+    n = F.size(F.regexp_extract_all(text, F.lit("[A-Z]"), 0))
+    return n / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), 0))
+    return n / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = token_count(text)
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    return nonspace / F.greatest(toks, F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: long enough, not punct/digit
+    soup, sane word lengths.  Same closed formula as the SQL oracle."""
+    toks = token_count(text).cast("double")
+    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    digit_pen = F.least(digit_ratio(text) * 4.0, F.lit(1.0))
+    mtl = mean_token_len(text)
+    word_score = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        0.4 * len_score + 0.3 * (1.0 - punct_pen) + 0.1 * (1.0 - digit_pen)
+        + 0.2 * word_score,
+        6,
+    )
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over stopword-hit counts; ties break in en>es>fr>de order."""
+    en, es, fr, de = (lang_hits(text, x) for x in ("en", "es", "fr", "de"))
+    return (
+        F.when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((es >= fr) & (es >= de), F.lit("es"))
+        .when(fr >= de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Positional rolling fingerprint: sum(ascii(char_i) * i) mod p.
+
+    Pure Catalyst: split to chars, positional transform, aggregate —
+    whole-stage-codegen friendly and identical to the SQL-oracle formula.
+    """
+    chars = F.split(text, "")
+    weighted = F.transform(chars, lambda c, i: F.ascii(c).cast("long") * (i + 1))
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.pmod(total, F.lit(FINGERPRINT_MOD))

@@ -83,10 +83,13 @@ def apply_batch(
     else:
         below = F.lit(False)
 
-    flagged = batch.withColumn("__below", below)
+    key_bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(snap["n_buckets"])
+    ).cast("int")
+    flagged = batch.withColumn("__below", below).withColumn(BUCKET_COL, key_bucket)
     flagged.persist()
     try:
-        # per-partition lineage pre-aggregate (one small job on the batch)
+        # ONE pre-pass job: per-partition lineage counters + touched buckets
         part_rows = (
             flagged.groupBy(partition_col)
             .agg(
@@ -94,9 +97,13 @@ def apply_batch(
                 F.max(offset_col).alias("max_offset"),
                 F.count(F.lit(1)).alias("rows_read"),
                 F.sum(F.col("__below").cast("long")).alias("below_watermark"),
+                F.collect_set(
+                    F.when(~F.col("__below"), F.col(BUCKET_COL))
+                ).alias("buckets"),
             )
             .collect()
         )
+        touched = sorted({b for r in part_rows for b in r["buckets"]})
         live = flagged.where(~F.col("__below")).drop("__below")
 
         stored_cols = [c for c in batch.columns if c not in ENVELOPE_DROP]
@@ -144,11 +151,9 @@ def apply_batch(
                 )
             else:
                 src_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        src = reduced.select(*src_cols, F.col(op_col).alias("__op"))
-        src = table.bucket_of(src)
-
-        touched = sorted(
-            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        # bucket id rides through the LWW reduce (constant per key)
+        src = reduced.select(
+            *src_cols, F.col(op_col).alias("__op"), F.col(BUCKET_COL)
         )
 
         out_names = [f.name for f in merged_schema.fields]
@@ -268,11 +273,33 @@ def _commit(
          sum(int(r["below_watermark"]) for r in part_rows),
          applied, deletes, conflicts, duration_ms, ENGINE_REVISION)
     ]
-    lineage_rel = f"lineage/v{new_version}"
+    # lineage is tiny (one row per journal partition) — write it driver-side
+    # with pyarrow, no Spark job
     import os
-    table.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(table.location, lineage_rel))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lineage_rel = f"lineage/v{new_version}"
+    names = [
+        "batch_id", "partition", "min_offset", "max_offset", "rows_read",
+        "below_watermark", "rows_applied", "deletes_applied",
+        "merge_conflicts_resolved", "duration_ms", "engine_revision",
+    ]
+    arrays = {
+        n: [r[i] for r in lineage_rows] for i, n in enumerate(names)
+    }
+    pa_schema = pa.schema(
+        [(n, pa.string() if n == "engine_revision" else
+          pa.int32() if n == "partition" else pa.int64()) for n in names]
+    )
+    tbl = pa.table(
+        {n: pa.array(arrays[n], type=pa_schema.field(n).type) for n in names},
+        schema=pa_schema,
+    )
+    out_dir = os.path.join(table.location, lineage_rel)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out_dir, "lineage.parquet"))
 
     new = dict(snap)
     new["version"] = new_version

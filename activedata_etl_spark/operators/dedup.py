@@ -1,0 +1,238 @@
+"""Deduplication families for a large-scale training-data pipeline.
+
+The reference dedups by key with hash indexes (`UniqueIndex`,
+`vendor/mo_collections/unique_index.py`, used for idempotent block merges at
+`activedata_etl/sinks/s3_bucket.py:99-117`).  A 100 TB corpus needs the
+content-similarity families as well; all are implemented as compositions of
+built-in DataFrame ops (shuffle-conscious: candidate generation always goes
+through an equi-join key — shingle, band hash, or simhash chunk — never a
+cross join).
+
+Scale notes (10^10 docs):
+- exact: one hash-agg on sha256 — map-side combine, minimal shuffle;
+- ngram-jaccard: |shingles| explode -> self-equi-join; frequency cap drops
+  stop-shingles that would quadratically blow up a hot join key (same skew
+  reasoning as the salted LWW reduce);
+- minhash-LSH: signature agg + band-bucket equi-join, candidates then
+  verified exactly — the classic sub-quadratic path;
+- simhash: 64-bit signature; pigeonhole banding on 16-bit chunks makes
+  hamming<=3 candidates equi-join-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical docs: (content_hash, n_docs, doc_ids, keep_id)."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(text, n: int = 3):
+    """Distinct word n-gram shingles as an array column (1-based windows)."""
+    toks = F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
+
+    explode(shingles) -> equi-join on shingle -> count intersections ->
+    jaccard from |A|,|B|,|A∩B|.  ``max_shingle_freq`` drops shingles shared
+    by more than N docs (stop-shingle skew guard for web scale).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = ex.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        ex = ex.join(freq.select("shingle"), "shingle")
+    a = ex.select(F.col("id").alias("id_a"), "shingle")
+    b = ex.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64, seed: int = 7
+) -> DataFrame:
+    """k-permutation MinHash signature per doc, via xxhash64(shingle, i)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    agg = ex.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 7,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding + (optional) exact-Jaccard verification.
+
+    bands of r = k/bands rows; docs colliding in any band are candidates
+    (banded equi-join, never a cross join); candidates are then verified
+    with the exact n-gram Jaccard so the output has no false positives.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, seed=seed)
+    band_cols = [
+        F.xxhash64(
+            *[F.element_at("signature", b * r + j + 1) for j in range(r)], F.lit(b)
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    left = banded.withColumnsRenamed({"id": "id_a"})
+    right = banded.withColumnsRenamed({"id": "id_b"})
+    cand = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify_exact:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, seed: int = 11) -> DataFrame:
+    """63-bit SimHash per doc (bit 63 kept clear to stay in signed long).
+
+    One explode + one hash-agg with 63 conditional sums (all JVM-side);
+    signature assembled from the per-bit majorities.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok", F.lit(seed)))
+    sums = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(63)
+    ]
+    per_doc = toks.groupBy("id").agg(*sums)
+    sig = None
+    for b in range(63):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, seed: int = 11
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: 4 chunks of 16 bits — any pair within hamming 3
+    agrees on >= 1 chunk, so candidates come from a chunk equi-join.
+    """
+    sig = simhash(df, id_col, text_col, seed=seed)
+    chunks = [
+        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    banded = sig.select("id", "simhash", F.posexplode(F.array(*chunks)).alias("chunk", "cv"))
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+    )
+    return (
+        left.join(right, ["chunk", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95
+) -> DataFrame:
+    """Exact cosine near-dup pairs over an embedding column.
+
+    Baseline all-pairs formulation (fine at verification scale; the
+    sub-quadratic path is similarity.lsh_ann_topk's hyperplane buckets).
+    """
+    from activedata_etl_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

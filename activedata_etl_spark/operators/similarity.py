@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query side is broadcast (small), corpus side streams: one pass, no
+  shuffle of the corpus, per-partition top-k then global top-k.
+- ``lsh_ann_topk``: random-hyperplane LSH buckets — the 100 TB path.
+  Hyperplane weights are derived deterministically from (plane, dim) hashes
+  so the operator needs no stored model; candidates come from a bucket
+  equi-join, then exact cosine re-ranks.
+
+All vector math is Catalyst higher-order functions (zip_with/aggregate) —
+JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, score, rank).
+
+    Broadcast the query set; rank per query with a window (query count is
+    small, so the window partitions are few and balanced).
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(plane: int, dim: int, seed: int):
+    """Deterministic pseudo-random weights in [-1, 1) for one hyperplane."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(plane), d, F.lit(seed)), F.lit(2000)) - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+
+
+def hyperplane_bucket(vec, *, n_planes: int = 8, dim: int, seed: int = 23):
+    """LSH bucket id: sign bits of the vector against n_planes hyperplanes."""
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(dot(vec, _hyperplane(p, dim, seed)) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 23,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    then exact cosine re-ranks.  Bucket join replaces the cross join —
+    ~2^n_planes reduction in compared pairs at corpus scale."""
+    from pyspark.sql import Window as W
+
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, dim=dim, seed=seed).alias(
+            "bucket"
+        ),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, dim=dim, seed=seed).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

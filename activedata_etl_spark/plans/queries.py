@@ -1,0 +1,840 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark callable,
+DuckDB oracle SQL) pair, on the driver-provided star schema.
+
+Each Spark function takes (spark, sf_dir) and returns a DataFrame whose
+column NAMES and VALUES match the oracle SQL exactly (aliases everywhere;
+doubles rounded at the same precision on both sides).
+
+jx semantics references (`/root/reference/`):
+- aggregates registry: vendor/jx_elasticsearch/es52/util.py:97-124
+- edges/domains binning: vendor/jx_base/domains.py; decoders
+  vendor/jx_elasticsearch/es52/decoders.py:35-725
+- window clause: vendor/jx_python/jx.py:945-1018
+- sort nulls-least: vendor/jx_base/language.py:152-235
+- null-safe eq: EqOp at vendor/jx_base/expressions.py:1099
+- set ops via UniqueIndex: vendor/mo_collections/unique_index.py
+- first/last singleton extract: vendor/jx_base/expressions.py:1450,1494
+- LWW latest-per-key: vendor/pyLibrary/env/elasticsearch.py:328-331,374-380
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from activedata_etl_spark.functions import text as TX
+from activedata_etl_spark.operators import dedup as DD
+from activedata_etl_spark.operators import similarity as SIM
+from activedata_etl_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# core jx-style operators over the star schema
+# ---------------------------------------------------------------------------
+
+def q01_summary_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered multi-aggregate groupBy (es52 aggs surface)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + string ops: prefix/suffix/find/concat/left-right."""
+    p = _t(spark, sf, "part")
+    return (
+        p.where(F.col("p_type").startswith("STANDARD"))
+        .select(
+            "p_partkey",
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.substring("p_name", 1, 8).alias("name_left8"),
+            F.locate("o", F.col("p_name")).alias("find_o"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            F.col("p_name").endswith("e").cast("int").alias("ends_e"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_Q02 = """
+SELECT p_partkey,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       substr(p_name, 1, 8) AS name_left8,
+       CASE WHEN strpos(p_name, 'o') IS NULL THEN 0 ELSE strpos(p_name, 'o') END AS find_o,
+       upper(p_brand) AS brand_upper,
+       length(p_name) AS name_len,
+       CASE WHEN p_name LIKE '%e' THEN 1 ELSE 0 END AS ends_e
+FROM part
+WHERE p_type LIKE 'STANDARD%'
+ORDER BY p_partkey
+"""
+
+
+def q03_join_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast dimension enrichment (hg-revision-lookup analog) + agg."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_Q03 = """
+SELECT r_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(DISTINCT c_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q04_topk_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key sort + limit; jx nulls-least ordering made explicit."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC LIMIT 10
+"""
+
+
+def q05_window_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """LWW latest-state per key over the events stream (external_gte analog)."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q05 = """
+SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q06_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding window aggregate: jx window {range:{min,max}} analog."""
+    e = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        e.where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 6).alias("running_sum"),
+            F.count(F.lit(1)).over(w).alias("running_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_Q06 = """
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 6) AS running_sum,
+       count(*) OVER w AS running_n
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+def q07_edges_time(spark: SparkSession, sf: str) -> DataFrame:
+    """TimeDomain edge: floor events to month buckets."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_Q07 = """
+SELECT date_trunc('month', ts) AS month, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q08_edges_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """RangeDomain/floor-to-multiple edge: FloorOp(value, 25)."""
+    e = _t(spark, sf, "events")
+    bin_ = (F.floor(F.col("value") / 25) * 25).cast("long").alias("value_bin")
+    return (
+        e.groupBy(bin_)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("value_bin")
+    )
+
+
+ORACLE_Q08 = """
+SELECT CAST(floor(value / 25) * 25 AS BIGINT) AS value_bin, count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q09_having(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("spend"))
+        .where(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_Q09 = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey
+"""
+
+
+def q10_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Set union of keys from two sources (UniqueIndex | analog)."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    c = _t(spark, sf, "customer").where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("key")
+    )
+    return o.union(c).distinct().orderBy("key")
+
+
+ORACLE_Q10 = """
+SELECT DISTINCT key FROM (
+  SELECT o_custkey AS key FROM orders
+  UNION ALL
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 9000
+) ORDER BY key
+"""
+
+
+def q11_anti_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti/semi join (UniqueIndex -/& as used in s3_bucket merge)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("bucket"), "c_custkey"
+    )
+    with_ = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("has_orders").alias("bucket"), "c_custkey"
+    )
+    return (
+        without.union(with_)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("min_key"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q11 = """
+SELECT bucket, count(*) AS n, min(c_custkey) AS min_key FROM (
+  SELECT 'no_orders' AS bucket, c_custkey FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT 'has_orders' AS bucket, c_custkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+) GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q12_case_coalesce(spark: SparkSession, sf: str) -> DataFrame:
+    """WhenOp/CaseOp/CoalesceOp."""
+    o = _t(spark, sf, "orders")
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            urgency.alias("urgency"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("?")).alias("status"),
+        )
+        .groupBy("urgency", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("urgency", "status")
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+            ELSE 'low' END AS urgency,
+       coalesce(o_orderstatus, '?') AS status, count(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY urgency, status
+"""
+
+
+def q13_count_values(spark: SparkSession, sf: str) -> DataFrame:
+    """count_values / value histogram (es52 aggs)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q13 = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q14_stats_block(spark: SparkSession, sf: str) -> DataFrame:
+    """extended_stats block (count,sum,avg,var,std,min,max)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.sum("value"), 4).alias("s"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 4).alias("variance"),
+        F.round(F.stddev("value"), 4).alias("std"),
+        F.round(F.min("value"), 6).alias("mn"),
+        F.round(F.max("value"), 6).alias("mx"),
+    ).orderBy("event_type")
+
+
+ORACLE_Q14 = """
+SELECT event_type, count(value) AS n, round(sum(value), 4) AS s,
+       round(avg(value), 6) AS mean, round(var_samp(value), 4) AS variance,
+       round(stddev(value), 4) AS std, round(min(value), 6) AS mn,
+       round(max(value), 6) AS mx
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q15_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """median/percentile (ES t-digest analog -> exact interpolated here)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+    ).orderBy("event_type")
+
+
+ORACLE_Q15 = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q16_in_between(spark: SparkSession, sf: str) -> DataFrame:
+    """InOp/BetweenOp/NeOp."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus") != "O")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q16 = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND l_linestatus <> 'O'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q17_null_safe_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """jx EqOp is null-safe (never null) -> eqNullSafe / IS NOT DISTINCT FROM."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            F.col("lang").eqNullSafe(F.lit("en")).alias("is_en"),
+            F.col("lang").isNull().alias("lang_missing"),
+        )
+        .groupBy("is_en", "lang_missing")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("is_en", "lang_missing")
+    )
+
+
+ORACLE_Q17 = """
+SELECT (lang IS NOT DISTINCT FROM 'en') AS is_en, (lang IS NULL) AS lang_missing,
+       count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY is_en, lang_missing
+"""
+
+
+def q18_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """grouping-sets cube (dense Matrix cube analog)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 4) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q19_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """RowsOp relative-row access -> lag/lead."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("delta_prev"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_Q19 = """
+SELECT user_id, event_id,
+       round(value - lag(value, 1) OVER w, 6) AS delta_prev,
+       lead(event_type, 1) OVER w AS next_type
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+def q20_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """FirstOp/LastOp singleton extraction -> min_by/max_by."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q20 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return DD.exact_dup_groups(d, "doc_id", "text").select(
+        "content_hash", "n_docs", "keep_id"
+    ).orderBy("content_hash")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_DEDUP_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), sized AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sized sa ON sa.doc_id = id_a
+JOIN sized sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
+    LSH banding is hash-specific; verified in pytest against exact pairs)."""
+    d = _t(spark, sf, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hash-specific; rows-only driver check)."""
+    d = _t(spark, sf, "documents")
+    return DD.simhash_pairs(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+
+
+def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return DD.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.ev, b.ev) /
+             (sqrt(list_inner_product(a.ev, a.ev)) *
+              sqrt(list_inner_product(b.ev, b.ev))), 6) AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_inner_product(a.ev, b.ev) /
+            (sqrt(list_inner_product(a.ev, a.ev)) *
+             sqrt(list_inner_product(b.ev, b.ev))), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(e, q, k=3).orderBy("query_id", "rank")
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(q.qv, c.ev) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(c.ev, c.ev))), 6) AS score
+  FROM corpus c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN (hash-specific buckets; rows-only driver check,
+    recall vs exact top-k asserted in pytest)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return SIM.lsh_ann_topk(e, q, k=3, n_planes=4).orderBy("query_id", "rank")
+
+
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+        TX.char_count(F.col("text")).alias("n_chars_m"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_r"),
+        F.round(TX.digit_ratio(F.col("text")), 6).alias("digit_r"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
+       length(text) AS n_chars_m,
+       round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct_r,
+       round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 6) AS digit_r
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+'))::DOUBLE AS toks,
+         len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) AS pr,
+         len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) AS dr,
+         length(regexp_replace(text, '\\s+', '', 'g')) /
+           greatest(len(regexp_extract_all(text, '\\S+')), 1) AS mtl
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(toks / 100.0, 1.0)
+           + 0.3 * (1.0 - least(pr * 4.0, 1.0))
+           + 0.1 * (1.0 - least(dr * 4.0, 1.0))
+           + 0.2 * (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM f ORDER BY doc_id
+"""
+
+
+_LANG_PATS = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "es": r"\b(el|la|de|que|los|una)\b",
+    "fr": r"\b(le|la|les|des|une|est)\b",
+    "de": r"\b(der|die|das|und|ist|ein)\b",
+}
+
+
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.lang_hits(F.col("text"), "en").alias("en_hits"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_LANGID = f"""
+WITH h AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_LANG_PATS["en"]}')) AS en,
+         len(regexp_extract_all(lower(text), '{_LANG_PATS["es"]}')) AS es,
+         len(regexp_extract_all(lower(text), '{_LANG_PATS["fr"]}')) AS fr,
+         len(regexp_extract_all(lower(text), '{_LANG_PATS["de"]}')) AS de
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+            WHEN es >= fr AND es >= de THEN 'es'
+            WHEN fr >= de THEN 'fr' ELSE 'de' END AS lang_pred,
+       en AS en_hits
+FROM h ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_FINGERPRINT = """
+SELECT doc_id, (SUM(ascii(c) * (i::BIGINT)) % 1000000007) AS fp FROM (
+  SELECT doc_id, unnest(string_split(text, '')) AS c,
+         generate_subscripts(string_split(text, ''), 1) AS i
+  FROM documents)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload + typed metadata (decode is a
+    deterministic stub; the schema/batching is the real artifact)."""
+    from activedata_etl_spark.multimodal import media_from_documents
+
+    d = _t(spark, sf, "documents")
+    m = media_from_documents(d)
+    return m.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    ).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       CAST((doc_id * 37) % 1920 AS INT) AS width,
+       CAST(n_chars * 10 AS INT) AS duration_ms
+FROM documents ORDER BY media_id
+"""
+
+
+def typed_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed-JSON normalization of the dynamic props column (Arrow UDF;
+    Python-defined semantics -> rows-only driver check, golden-tested in
+    pytest per typed_encoder.py)."""
+    from activedata_etl_spark.functions.normalize import typed_encode_udf
+
+    e = _t(spark, sf, "events")
+    return (
+        e.where(F.col("event_id") < 1000)
+        .select("event_id", typed_encode_udf(F.col("props")).alias("typed"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "q01_summary_agg": q01_summary_agg,
+    "q02_filter_strings": q02_filter_strings,
+    "q03_join_enrich": q03_join_enrich,
+    "q04_topk_sort": q04_topk_sort,
+    "q05_window_latest": q05_window_latest,
+    "q06_window_sliding": q06_window_sliding,
+    "q07_edges_time": q07_edges_time,
+    "q08_edges_bins": q08_edges_bins,
+    "q09_having": q09_having,
+    "q10_set_union": q10_set_union,
+    "q11_anti_semi": q11_anti_semi,
+    "q12_case_coalesce": q12_case_coalesce,
+    "q13_count_values": q13_count_values,
+    "q14_stats_block": q14_stats_block,
+    "q15_percentiles": q15_percentiles,
+    "q16_in_between": q16_in_between,
+    "q17_null_safe_eq": q17_null_safe_eq,
+    "q18_cube": q18_cube,
+    "q19_window_lag": q19_window_lag,
+    "q20_first_last": q20_first_last,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_lsh": sim_ann_lsh,
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_meta": multimodal_meta,
+    "typed_json_props": typed_json_props,
+}
+
+ORACLE_SQL = {
+    "q01_summary_agg": ORACLE_Q01,
+    "q02_filter_strings": ORACLE_Q02,
+    "q03_join_enrich": ORACLE_Q03,
+    "q04_topk_sort": ORACLE_Q04,
+    "q05_window_latest": ORACLE_Q05,
+    "q06_window_sliding": ORACLE_Q06,
+    "q07_edges_time": ORACLE_Q07,
+    "q08_edges_bins": ORACLE_Q08,
+    "q09_having": ORACLE_Q09,
+    "q10_set_union": ORACLE_Q10,
+    "q11_anti_semi": ORACLE_Q11,
+    "q12_case_coalesce": ORACLE_Q12,
+    "q13_count_values": ORACLE_Q13,
+    "q14_stats_block": ORACLE_Q14,
+    "q15_percentiles": ORACLE_Q15,
+    "q16_in_between": ORACLE_Q16,
+    "q17_null_safe_eq": ORACLE_Q17,
+    "q18_cube": ORACLE_Q18,
+    "q19_window_lag": ORACLE_Q19,
+    "q20_first_last": ORACLE_Q20,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "sim_cosine_topk": ORACLE_SIM_TOPK,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    # dedup_minhash_lsh / dedup_simhash / sim_ann_lsh / typed_json_props:
+    # hash-/Python-defined semantics, rows-only driver check (pytest covers
+    # their correctness against exact counterparts)
+}
