@@ -87,17 +87,32 @@ def nullify_empty_strings(df: DataFrame, columns: list[str] | None = None) -> Da
     return df.select(*exprs)
 
 
-def normalize_batch(df: DataFrame) -> DataFrame:
-    """CDC batch normalization: empty->null, lang tag, content hash.
+def normalize_keys(df: DataFrame) -> DataFrame:
+    """Pre-reduce normalization: ONLY what affects keying/versioning
+    ('' -> null on key columns).  Cheap — runs on every event."""
+    cols = [c for c in ("repo", "path") if c in df.columns]
+    return nullify_empty_strings(df, cols)
 
-    All Catalyst expressions — stays inside whole-stage codegen.
-    """
-    out = nullify_empty_strings(df, ["repo", "path", "commit", "lang", "content"])
+
+def finalize_records(df: DataFrame) -> DataFrame:
+    """Post-reduce normalization: lang tag + content hash + residual
+    empty-string cleanup.  Runs only on LWW winners (one row per key per
+    batch), not on every event — at 10^10 events with ~10^8 keys that is
+    ~99% less hashing."""
+    out = nullify_empty_strings(
+        df, [c for c in ("commit", "lang", "content") if c in df.columns]
+    )
     out = out.withColumn(
         "lang", F.coalesce(F.col("lang"), lang_from_path(F.col("path")))
     )
     out = out.withColumn("content_sha256", content_sha256(F.col("content")))
     return out
+
+
+def normalize_batch(df: DataFrame) -> DataFrame:
+    """Full normalization in one shot (used when feeding apply_batch
+    directly without a finalize hook)."""
+    return finalize_records(normalize_keys(df))
 
 
 # ---------------------------------------------------------------------------

@@ -66,7 +66,7 @@ def journal_df(
     seed: int = 42,
     n_partitions: int = 8,
     n_repos: int = 20,
-    n_paths_per_repo: int = 200,
+    n_paths_per_repo: int | None = None,
     hot_repo_pct: int = 50,
     delete_pct: int = 10,
     dup_pct: int = 3,
@@ -78,6 +78,11 @@ def journal_df(
     Every value is a deterministic function of (seed, arrival index), so two
     invocations — at any parallelism — produce identical rows.
     """
+    if n_paths_per_repo is None:
+        # key space scales with journal size (~50 events per key on average),
+        # matching the 10^10-events-over-10^8-files shape of the real corpus
+        n_paths_per_repo = max(200, n_events // (n_repos * 50))
+
     rng = spark.range(n_events, numPartitions=num_spark_partitions)
     a = F.col("id")
 
@@ -182,10 +187,13 @@ def write_journal(
         F.when(F.pmod(F.xxhash64("commit_seq", F.lit(seed + 13)), 10) < 1,
                F.lit("100755")).otherwise(F.lit("100644")),
     )
-    (v1.repartitionByRange(max(1, n_events // 250_000), "offset")
+    # enough files that a chunk scan parallelizes across all cores
+    # (file count is the effective split granularity for smallish files)
+    n_files = max(8, n_events // 65_536)
+    (v1.repartitionByRange(n_files, "offset")
         .sortWithinPartitions("offset")
         .write.mode("overwrite").parquet(f"{out_dir}/seg=1"))
-    (v2.repartitionByRange(max(1, n_events // 250_000), "offset")
+    (v2.repartitionByRange(max(2, n_files // 3), "offset")
         .sortWithinPartitions("offset")
         .write.mode("overwrite").parquet(f"{out_dir}/seg=2"))
     return out_dir

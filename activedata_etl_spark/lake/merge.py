@@ -32,14 +32,15 @@ from pyspark.sql import functions as F
 
 from activedata_etl_spark import ENGINE_REVISION
 from activedata_etl_spark.lake.schema_evolution import align_to_schema, merge_schemas
-from activedata_etl_spark.lake.table import BUCKET_COL, SnapshotTable
+from activedata_etl_spark.lake.table import BUCKET_COL, DELETED_COL, SnapshotTable
 from activedata_etl_spark.operators.lww import lww_reduce
 
 ENVELOPE_DROP = ["op", "partition"]  # journal envelope not stored in the table
 
 LINEAGE_SCHEMA = (
     "batch_id long, partition int, min_offset long, max_offset long, "
-    "rows_read long, below_watermark long, rows_applied long, "
+    "rows_read long, below_watermark long, invalid_events long, "
+    "late_events long, rows_applied long, "
     "deletes_applied long, merge_conflicts_resolved long, "
     "duration_ms long, engine_revision string"
 )
@@ -55,12 +56,30 @@ def apply_batch(
     partition_col: str = "partition",
     offset_col: str = "offset",
     salted: bool = False,
+    validate_cols: tuple[str, ...] = ("repo", "path"),
+    late_threshold_sec: int | None = None,
+    ts_col: str = "ts",
+    finalize_fn=None,
+    persist: bool = True,
+    enforce_watermark: bool = True,
 ) -> dict:
     """Apply one micro-batch of change events; returns a lineage summary.
 
     ``batch`` carries the journal envelope (partition, offset, op) plus the
     record payload; everything except ``ENVELOPE_DROP`` is stored (version
     columns stay in the table for the cross-batch >= guard).
+
+    Deletes become TOMBSTONES (rows with ``__deleted = true``): a stale
+    update arriving after the delete — in the same batch or a later one —
+    loses to the tombstone's version instead of resurrecting the key.
+    ``read()`` hides tombstones; compaction can drop those older than the
+    out-of-order horizon.
+
+    ``enforce_watermark`` drops events at-or-below the per-partition offset
+    high-watermark — correct when delivery is offset-ordered per partition
+    (chunked replay).  File-stream delivery is mtime-ordered, not
+    offset-ordered, so the streaming driver disables it and relies on the
+    epoch fence + version guard + tombstones, which are order-independent.
     """
     t0 = time.time()
     spark = table.spark
@@ -73,7 +92,7 @@ def apply_batch(
 
     # ---- watermark filter: already-applied offsets drop ----------------
     wm = table.watermarks()
-    if wm:
+    if wm and enforce_watermark:
         wm_map = F.create_map(
             *chain.from_iterable((F.lit(p), F.lit(o)) for p, o in wm.items())
         )
@@ -83,11 +102,34 @@ def apply_batch(
     else:
         below = F.lit(False)
 
-    key_bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(snap["n_buckets"])
-    ).cast("int")
-    flagged = batch.withColumn("__below", below).withColumn(BUCKET_COL, key_bucket)
-    flagged.persist()
+    # ---- dead-letter + late-data flags (DATA_TOO_OLD analog,
+    #      rollover_index.py:74-77; poison-pill rejection, etl.py:309-350) --
+    invalid = F.lit(False)
+    for c in validate_cols:
+        if c in batch.columns:
+            invalid = invalid | F.col(c).isNull()
+    max_event_ts = snap.get("max_event_ts")  # epoch seconds, event-time WM
+    if late_threshold_sec is not None and max_event_ts is not None and ts_col in batch.columns:
+        late = F.unix_timestamp(F.col(ts_col)) < F.lit(
+            int(max_event_ts) - late_threshold_sec
+        )
+        late = F.coalesce(late, F.lit(False))
+    else:
+        late = F.lit(False)
+
+    from activedata_etl_spark.lake.table import _bucket_expr
+
+    key_bucket = _bucket_expr(key_cols, snap["n_buckets"])
+    flagged = (
+        batch.withColumn("__below", below)
+        .withColumn("__invalid", invalid)
+        .withColumn("__late", late & ~invalid)
+        .withColumn(BUCKET_COL, key_bucket)
+    )
+    drop_row = F.col("__below") | F.col("__invalid") | F.col("__late")
+    has_ts = ts_col in batch.columns
+    if persist:
+        flagged.persist()
     try:
         # ONE pre-pass job: per-partition lineage counters + touched buckets
         part_rows = (
@@ -97,41 +139,58 @@ def apply_batch(
                 F.max(offset_col).alias("max_offset"),
                 F.count(F.lit(1)).alias("rows_read"),
                 F.sum(F.col("__below").cast("long")).alias("below_watermark"),
+                F.sum(F.col("__invalid").cast("long")).alias("invalid_events"),
+                F.sum(F.col("__late").cast("long")).alias("late_events"),
+                (F.max(F.unix_timestamp(ts_col)) if has_ts else F.lit(None).cast("long")).alias("max_ts"),
                 F.collect_set(
-                    F.when(~F.col("__below"), F.col(BUCKET_COL))
+                    F.when(~drop_row, F.col(BUCKET_COL))
                 ).alias("buckets"),
             )
             .collect()
         )
+        t_pre = time.time()
         touched = sorted({b for r in part_rows for b in r["buckets"]})
-        live = flagged.where(~F.col("__below")).drop("__below")
+        live = flagged.where(~drop_row).drop("__below", "__invalid", "__late")
 
         stored_cols = [c for c in batch.columns if c not in ENVELOPE_DROP]
         new_wm = dict(wm)
         for r in part_rows:
             p = int(r[partition_col])
             new_wm[p] = max(new_wm.get(p, -1), int(r["max_offset"]))
+        batch_max_ts = max(
+            (int(r["max_ts"]) for r in part_rows if r["max_ts"] is not None),
+            default=None,
+        )
+        new_max_event_ts = max(
+            (x for x in (max_event_ts, batch_max_ts) if x is not None), default=None
+        )
 
         total_read = sum(r["rows_read"] for r in part_rows)
-        total_below = sum(r["below_watermark"] for r in part_rows)
+        total_dropped = sum(
+            r["below_watermark"] + r["invalid_events"] + r["late_events"]
+            for r in part_rows
+        )
+        n_quarantined = sum(r["invalid_events"] + r["late_events"] for r in part_rows)
+        if n_quarantined:
+            # quarantine table: malformed + too-late events, kept for audit
+            import os as _os
+            (
+                flagged.where(F.col("__invalid") | F.col("__late"))
+                .drop("__below", BUCKET_COL)
+                .write.mode("overwrite")
+                .parquet(_os.path.join(table.location, f"quarantine/b{batch_id}"))
+            )
 
-        if total_read == total_below:
+        if total_read == total_dropped:
             # nothing live: metadata-only commit (fence + watermark advance)
-            return _commit(
+            s = _commit(
                 table, snap, batch_id, new_wm, part_rows, None, None,
                 schema_json=snap["schema"], changes=[],
                 applied=0, deletes=0, conflicts=0, t0=t0,
-                partition_col=partition_col,
+                partition_col=partition_col, max_event_ts=new_max_event_ts,
             )
-
-        # ---- schema evolution pre-pass (transactional with this commit) --
-        from pyspark.sql import types as T
-
-        table_schema = T.StructType.fromJson(snap["schema"])
-        batch_stored_schema = T.StructType(
-            [f for f in live.schema.fields if f.name in stored_cols]
-        )
-        merged_schema, changes = merge_schemas(table_schema, batch_stored_schema)
+            s["pre_pass_ms"] = int((t_pre - t0) * 1000)
+            return s
 
         # ---- within-batch LWW reduce (map-side combine handles skew) -----
         if salted:
@@ -140,10 +199,30 @@ def apply_batch(
         else:
             reduced = lww_reduce(live, key_cols, list(version_cols))
 
+        # ---- finalize transforms on WINNERS only (not on every event) ----
+        if finalize_fn is not None:
+            reduced = finalize_fn(reduced)
+            stored_cols = [c for c in reduced.columns if c not in ENVELOPE_DROP
+                           and c != BUCKET_COL]
+
+        # ---- schema evolution pre-pass (transactional with this commit) --
+        from pyspark.sql import types as T
+
+        table_schema = T.StructType.fromJson(snap["schema"])
+        batch_stored_schema = T.StructType(
+            [f for f in reduced.schema.fields if f.name in stored_cols]
+        )
+        merged_schema, changes = merge_schemas(table_schema, batch_stored_schema)
+
         have = {f.name: f for f in reduced.schema.fields}
         src_cols = []
         for f in merged_schema.fields:
-            if f.name in have:
+            if f.name == DELETED_COL:
+                # tombstone marker derives from the op, not from alignment
+                src_cols.append(
+                    (F.col(op_col) == "delete").alias(DELETED_COL)
+                )
+            elif f.name in have:
                 c = F.col(f.name)
                 src_cols.append(
                     c.cast(f.dataType).alias(f.name)
@@ -152,39 +231,44 @@ def apply_batch(
             else:
                 src_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         # bucket id rides through the LWW reduce (constant per key)
-        src = reduced.select(
-            *src_cols, F.col(op_col).alias("__op"), F.col(BUCKET_COL)
-        )
+        src = reduced.select(*src_cols, F.col(BUCKET_COL))
 
         out_names = [f.name for f in merged_schema.fields]
 
         if not table.existing_bucket_paths(touched):
-            # no target data in any touched bucket: pure insert, no join.
-            # (A LocalRelation-folded plan can drop CollectMetrics, so count
-            #  the written output instead — exact, and this path only runs
-            #  for all-fresh buckets.)
-            is_delete = F.col("__op") == "delete"
-            result = src.where(~is_delete).select(*out_names, BUCKET_COL)
+            # no target data in any touched bucket: pure upsert, no join.
+            # Deletes still land as tombstones so later stale arrivals lose.
+            result = src.select(*out_names, BUCKET_COL)
             new_version = snap["version"] + 1
             rel = table.write_buckets(result, new_version)
             import os as _os
+            applied = deletes = 0
             try:
-                applied = int(
-                    spark.read.parquet(_os.path.join(table.location, rel)).count()
+                row = (
+                    spark.read.parquet(_os.path.join(table.location, rel))
+                    .agg(
+                        F.sum((~F.coalesce(F.col(DELETED_COL), F.lit(False))).cast("long")),
+                        F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")),
+                    )
+                    .first()
                 )
+                applied, deletes = int(row[0] or 0), int(row[1] or 0)
             except Exception:  # empty write -> no readable parquet footers
-                applied = 0
-            return _commit(
+                pass
+            s = _commit(
                 table, snap, batch_id, new_wm, part_rows, touched, rel,
                 schema_json=merged_schema.jsonValue(), changes=changes,
-                applied=applied, deletes=0, conflicts=0, t0=t0,
-                partition_col=partition_col,
+                applied=applied, deletes=deletes, conflicts=0, t0=t0,
+                partition_col=partition_col, max_event_ts=new_max_event_ts,
             )
+            s["pre_pass_ms"] = int((t_pre - t0) * 1000)
+            return s
 
         obs = Observation(f"merge_b{batch_id}")
 
         # ---- merge against touched buckets only (copy-on-write) ----------
-        tgt = align_to_schema(table.read(buckets=touched), merged_schema)
+        tgt = align_to_schema(table.read(buckets=touched, include_tombstones=True),
+                              merged_schema)
         tgt = table.bucket_of(tgt).withColumn("__present", F.lit(True))
 
         s = src.select([F.col(c).alias(f"s_{c}") for c in src.columns])
@@ -197,24 +281,31 @@ def apply_batch(
         s_present = F.col(f"s_{key_cols[0]}").isNotNull()
         t_present = F.col("t___present").isNotNull()
         src_wins = s_present & (~t_present | (s_ver >= t_ver))
-        is_delete = F.col("s___op") == "delete"
+        s_deleted = F.coalesce(F.col(f"s_{DELETED_COL}"), F.lit(False))
+        t_deleted = F.coalesce(F.col(f"t_{DELETED_COL}"), F.lit(False))
 
         joined = joined.observe(
             obs,
             F.sum((t_present & s_present & ~src_wins).cast("long")).alias("conflicts"),
-            F.sum((src_wins & is_delete & t_present).cast("long")).alias("deletes"),
-            F.sum((src_wins & ~is_delete).cast("long")).alias("applied"),
+            F.sum((src_wins & s_deleted & t_present & ~t_deleted).cast("long")).alias("deletes"),
+            F.sum((src_wins & ~s_deleted).cast("long")).alias("applied"),
         )
 
         out_cols = [
-            F.when(src_wins, F.col(f"s_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
-            for c in [f.name for f in merged_schema.fields]
+            F.coalesce(
+                F.when(src_wins, F.col(f"s_{f.name}")).otherwise(F.col(f"t_{f.name}")),
+                F.lit(False),
+            ).alias(f.name)
+            if f.name == DELETED_COL
+            else F.when(src_wins, F.col(f"s_{f.name}")).otherwise(
+                F.col(f"t_{f.name}")
+            ).alias(f.name)
+            for f in merged_schema.fields
         ]
         out_bucket = F.when(src_wins, F.col(f"s_{BUCKET_COL}")).otherwise(
             F.col(f"t_{BUCKET_COL}")
         ).alias(BUCKET_COL)
-        keep = (src_wins & ~is_delete) | (~src_wins & t_present)
-        result = joined.where(keep).select(*out_cols, out_bucket)
+        result = joined.select(*out_cols, out_bucket)
 
         new_version = snap["version"] + 1
         rel = table.write_buckets(result, new_version)
@@ -225,19 +316,22 @@ def apply_batch(
             # relation) — recompute the three counters in one small pass.
             m = joined.agg(
                 F.sum((t_present & s_present & ~src_wins).cast("long")).alias("conflicts"),
-                F.sum((src_wins & is_delete & t_present).cast("long")).alias("deletes"),
-                F.sum((src_wins & ~is_delete).cast("long")).alias("applied"),
+                F.sum((src_wins & s_deleted & t_present & ~t_deleted).cast("long")).alias("deletes"),
+                F.sum((src_wins & ~s_deleted).cast("long")).alias("applied"),
             ).first().asDict()
 
-        return _commit(
+        s = _commit(
             table, snap, batch_id, new_wm, part_rows, touched, rel,
             schema_json=merged_schema.jsonValue(), changes=changes,
             applied=int(m["applied"] or 0), deletes=int(m["deletes"] or 0),
             conflicts=int(m["conflicts"] or 0), t0=t0,
-            partition_col=partition_col,
+            partition_col=partition_col, max_event_ts=new_max_event_ts,
         )
+        s["pre_pass_ms"] = int((t_pre - t0) * 1000)
+        return s
     finally:
-        flagged.unpersist()
+        if persist:
+            flagged.unpersist()
 
 
 def _commit(
@@ -256,14 +350,22 @@ def _commit(
     conflicts: int,
     t0: float,
     partition_col: str,
+    max_event_ts: int | None = None,
 ) -> dict:
     new_version = snap["version"] + 1
     duration_ms = int((time.time() - t0) * 1000)
+
+    def _g(r, k):  # older callers may lack the quarantine counters
+        try:
+            return int(r[k])
+        except (KeyError, ValueError, TypeError):
+            return 0
 
     lineage_rows = [
         (
             batch_id, int(r[partition_col]), int(r["min_offset"]),
             int(r["max_offset"]), int(r["rows_read"]), int(r["below_watermark"]),
+            _g(r, "invalid_events"), _g(r, "late_events"),
             None, None, None, duration_ms, ENGINE_REVISION,
         )
         for r in part_rows
@@ -271,6 +373,8 @@ def _commit(
         (batch_id, -1, None, None,
          sum(int(r["rows_read"]) for r in part_rows),
          sum(int(r["below_watermark"]) for r in part_rows),
+         sum(_g(r, "invalid_events") for r in part_rows),
+         sum(_g(r, "late_events") for r in part_rows),
          applied, deletes, conflicts, duration_ms, ENGINE_REVISION)
     ]
     # lineage is tiny (one row per journal partition) — write it driver-side
@@ -283,8 +387,9 @@ def _commit(
     lineage_rel = f"lineage/v{new_version}"
     names = [
         "batch_id", "partition", "min_offset", "max_offset", "rows_read",
-        "below_watermark", "rows_applied", "deletes_applied",
-        "merge_conflicts_resolved", "duration_ms", "engine_revision",
+        "below_watermark", "invalid_events", "late_events", "rows_applied",
+        "deletes_applied", "merge_conflicts_resolved", "duration_ms",
+        "engine_revision",
     ]
     arrays = {
         n: [r[i] for r in lineage_rows] for i, n in enumerate(names)
@@ -309,6 +414,8 @@ def _commit(
     new["batch_id"] = batch_id
     new["watermarks"] = {str(k): int(v) for k, v in new_wm.items()}
     new["lineage_dirs"] = snap.get("lineage_dirs", []) + [lineage_rel]
+    if max_event_ts is not None:
+        new["max_event_ts"] = int(max_event_ts)
     bucket_dirs = dict(snap["bucket_dirs"])
     dir_versions = dict(snap["dir_versions"])
     if touched is not None and data_rel is not None:
@@ -326,6 +433,7 @@ def _commit(
         "batch_id": batch_id,
         "version": new_version,
         "skipped": False,
+        "pre_pass_ms": None,  # filled by apply_batch
         "rows_read": sum(int(r["rows_read"]) for r in part_rows),
         "below_watermark": sum(int(r["below_watermark"]) for r in part_rows),
         "rows_applied": applied,

@@ -44,10 +44,17 @@ from pyspark.sql import types as T
 from activedata_etl_spark.lake.schema_evolution import align_to_schema
 
 BUCKET_COL = "__bucket"
+DELETED_COL = "__deleted"  # tombstone marker: delete events upsert a
+                           # versioned tombstone so stale out-of-order
+                           # arrivals cannot resurrect the key
 
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    """Murmur3 (F.hash) on purpose: it is the SAME hash Spark's shuffle
+    hash-partitioning uses, so rows hash-partitioned by the key columns land
+    with whole buckets per partition — the bucketed write then needs NO
+    repartition (zero-shuffle write)."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
 class SnapshotTable:
@@ -136,7 +143,11 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- read
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
         """Scan the table (optionally bucket-pruned), aligned to the current
         schema.
 
@@ -168,10 +179,15 @@ class SnapshotTable:
             raw = self.spark.read.parquet(*existing)
             parts.append(align_to_schema(raw, schema))
         if not parts:
-            return self.spark.createDataFrame([], schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.createDataFrame([], schema)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_tombstones and DELETED_COL in out.columns:
+            out = out.where(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).drop(DELETED_COL)
         return out
 
     def existing_bucket_paths(self, buckets: list[int]) -> list[str]:
@@ -199,14 +215,18 @@ class SnapshotTable:
     def write_buckets(self, df: DataFrame, version: int) -> str:
         """Write ``df`` (must carry BUCKET_COL) under data/v{version}.
 
-        One shuffle on the bucket column so each bucket is written by one
-        task (bucket count bounds task count; AQE coalesces small ones).
-        Returns the data dir relpath.
+        NO repartition: the caller's plan is already hash-partitioned by the
+        key columns (LWW window / merge join), and bucket = murmur3(keys) %
+        n_buckets is aligned with that partitioning, so every task holds
+        whole buckets — ``partitionBy`` emits at most one file per bucket per
+        task with zero extra shuffle.  ``sortWithinPartitions`` groups each
+        task's rows by bucket so the dynamic-partition writer keeps a single
+        open file at a time.
         """
         rel = f"data/v{version}"
         out = os.path.join(self.location, rel)
         (
-            df.repartition(F.col(BUCKET_COL))
+            df.sortWithinPartitions(BUCKET_COL)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out)
@@ -215,12 +235,18 @@ class SnapshotTable:
 
     # -------------------------------------------------------- maintenance
 
-    def compact(self) -> int:
+    def compact(self, drop_tombstones: bool = False) -> int:
         """Rewrite every bucket at the current schema in one new snapshot
-        (analog of re-ETL block consolidation; removes read-time union/cast)."""
+        (analog of re-ETL block consolidation; removes read-time union/cast).
+
+        ``drop_tombstones=True`` garbage-collects delete markers — safe once
+        the out-of-order horizon has passed (no stale event older than the
+        tombstone can still arrive)."""
         snap = self.snapshot()
         new_version = snap["version"] + 1
-        df = self.read()
+        df = self.read(include_tombstones=not drop_tombstones)
+        if DELETED_COL not in df.columns:
+            df = df.withColumn(DELETED_COL, F.lit(False))
         df = self.bucket_of(df)
         rel = self.write_buckets(df, new_version)
         new = dict(snap)

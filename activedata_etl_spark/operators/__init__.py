@@ -1,5 +1,6 @@
 from activedata_etl_spark.operators.lww import (  # noqa: F401
     lww_reduce,
+    lww_reduce_maxby,
     lww_reduce_salted,
     lww_reduce_window,
 )

@@ -103,31 +103,45 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 23,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    then exact cosine re-ranks.  Bucket join replaces the cross join —
-    ~2^n_planes reduction in compared pairs at corpus scale."""
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    L independent hash tables of n_planes sign bits each; candidates are the
+    union of same-bucket matches across tables (miss probability decays as
+    (1-p)^L), then exact cosine re-ranks.  The (table, bucket) equi-join
+    replaces the cross join — the pair count shrinks by ~2^n_planes / L at
+    corpus scale, and the corpus is never shuffled (queries broadcast)."""
     from pyspark.sql import Window as W
 
     dim = len(corpus.select(vec_col).first()[0])
+
+    def buckets(vec):
+        return F.array(
+            *[
+                hyperplane_bucket(
+                    vec, n_planes=n_planes, dim=dim, seed=seed + 1000 * t
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, dim=dim, seed=seed).alias(
-            "bucket"
-        ),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes=n_planes, dim=dim, seed=seed).alias(
-            "bucket"
-        ),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     scored = (
-        cb.join(F.broadcast(qb), "bucket")
+        cb.join(F.broadcast(qb), ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         .select("query_id", "neighbor_id", "score")
     )

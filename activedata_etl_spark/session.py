@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # smaller input splits: keep wide parallelism on modest batch sizes
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        # let AQE turn the LWW join-back into a broadcast join when the
+        # winner set is modest (falls back to shuffle join at real scale)
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -24,13 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from activedata_etl_spark.functions.normalize import normalize_batch
+from activedata_etl_spark.functions.normalize import (
+    finalize_records,
+    normalize_keys,
+)
 from activedata_etl_spark.lake.merge import ENVELOPE_DROP, apply_batch
 from activedata_etl_spark.lake.table import SnapshotTable
 
 
 def _stored_schema(journal_schema: T.StructType) -> T.StructType:
-    """Table schema for a journal: payload + version cols + content hash."""
+    """Table schema for a journal: payload + version cols + content hash +
+    tombstone marker."""
+    from activedata_etl_spark.lake.table import DELETED_COL
+
     fields = [f for f in journal_schema.fields if f.name not in ENVELOPE_DROP]
     # offset participates in the LWW version guard, so it IS stored
     names = {f.name for f in fields}
@@ -38,6 +44,7 @@ def _stored_schema(journal_schema: T.StructType) -> T.StructType:
     if "offset" not in names:
         out.append(T.StructField("offset", T.LongType(), True))
     out.append(T.StructField("content_sha256", T.StringType(), True))
+    out.append(T.StructField(DELETED_COL, T.BooleanType(), True))
     return T.StructType(out)
 
 
@@ -68,6 +75,8 @@ def replay_journal(
     max_batches: int | None = None,
     salted: bool = False,
     n_buckets: int = 64,
+    late_threshold_sec: int | None = None,
+    persist: bool = True,
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -95,8 +104,12 @@ def replay_journal(
             break
         lo, hi = i * chunk_events, (i + 1) * chunk_events - 1
         chunk = journal.where(F.col("offset").between(lo, hi))
-        batch = normalize_batch(chunk)
-        s = apply_batch(table, batch, i, salted=salted)
+        # key normalization pre-reduce; lang/sha256 only on LWW winners
+        s = apply_batch(
+            table, normalize_keys(chunk), i, salted=salted,
+            late_threshold_sec=late_threshold_sec,
+            finalize_fn=finalize_records, persist=persist,
+        )
         summaries.append(s)
         if not s.get("skipped"):
             total_read += s["rows_read"]
@@ -140,7 +153,13 @@ def stream_journal(
     )
 
     def sink(df: DataFrame, epoch_id: int) -> None:
-        apply_batch(table, normalize_batch(df), epoch_id, salted=salted)
+        # file-stream epochs are mtime-ordered, NOT offset-ordered: the
+        # offset watermark must not filter here (tombstones + version guard
+        # keep replay order-independent; the epoch fence keeps it idempotent)
+        apply_batch(
+            table, normalize_keys(df), epoch_id, salted=salted,
+            finalize_fn=finalize_records, enforce_watermark=False,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -166,6 +166,46 @@ def test_delete_then_reinsert(spark, tmp_path):
     assert [r[0] for r in table.read().select("content").collect()] == ["V2"]
 
 
+def test_tombstone_blocks_stale_resurrection(spark, tmp_path):
+    """delete(seq=100) applied in batch N; stale update(seq=90) arriving in
+    batch N+1 must NOT resurrect the key (tombstone version guard)."""
+    cols = "partition int, offset long, commit_seq long, op string, repo string, path string, commit string, lang string, content string, ts timestamp"
+    from activedata_etl_spark.functions.normalize import normalize_batch
+
+    loc = str(tmp_path / "lake_tomb")
+    b0 = spark.createDataFrame(
+        [(0, 0, 50, "insert", "r", "a.py", "c" * 12, None, "V1", None),
+         (0, 1, 100, "delete", "r", "a.py", "d" * 12, None, None, None)], cols
+    )
+    table = ensure_table(spark, loc, b0.schema)
+    apply_batch(table, normalize_batch(b0), 0)
+    assert table.read().count() == 0
+    # tombstone is physically present with the delete's version
+    assert table.read(include_tombstones=True).count() == 1
+
+    stale = spark.createDataFrame(
+        [(1, 2, 90, "update", "r", "a.py", "e" * 12, None, "STALE", None)], cols
+    )
+    s = apply_batch(table, normalize_batch(stale), 1)
+    assert s["merge_conflicts_resolved"] == 1
+    assert table.read().count() == 0  # still deleted
+
+    # a genuinely newer insert does resurrect
+    fresh = spark.createDataFrame(
+        [(1, 3, 110, "insert", "r", "a.py", "f" * 12, None, "NEW", None)], cols
+    )
+    apply_batch(table, normalize_batch(fresh), 2)
+    assert [r["content"] for r in table.read().collect()] == ["NEW"]
+
+    # compaction GC: tombstones drop once the horizon passed
+    dele2 = spark.createDataFrame(
+        [(1, 4, 120, "delete", "r", "a.py", "g" * 12, None, None, None)], cols
+    )
+    apply_batch(table, normalize_batch(dele2), 3)
+    table.compact(drop_tombstones=True)
+    assert table.read(include_tombstones=True).count() == 0
+
+
 def test_spark_oracle_agrees_with_pandas(spark, journal_dir, journal_pdf):
     """The distributed Spark-side oracle equals the pandas oracle."""
     j = read_journal(spark, journal_dir)

@@ -12,6 +12,7 @@ from activedata_etl_spark.functions.normalize import (
 from activedata_etl_spark.journal import journal_df
 from activedata_etl_spark.operators.lww import (
     lww_reduce,
+    lww_reduce_maxby,
     lww_reduce_salted,
     lww_reduce_window,
 )
@@ -63,11 +64,13 @@ def test_lww_strategies_agree(spark):
     a = lww_reduce(j).orderBy("repo", "path").toPandas()
     b = lww_reduce_window(j).orderBy("repo", "path").toPandas()
     c = lww_reduce_salted(j, salt_buckets=8).orderBy("repo", "path").toPandas()
+    d = lww_reduce_maxby(j).orderBy("repo", "path").toPandas()
     import pandas as pd
 
     cols = sorted(a.columns)
     pd.testing.assert_frame_equal(a[cols], b[cols].reset_index(drop=True))
     pd.testing.assert_frame_equal(a[cols], c[cols].reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[cols], d[cols].reset_index(drop=True))
 
 
 def test_lww_partitioning_invariance(spark):

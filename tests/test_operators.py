@@ -1,0 +1,144 @@
+"""Dedup / similarity / text / multimodal operator tests (vs exact baselines)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_minhash_lsh_finds_exact_pairs(spark, docs):
+    """Verified LSH output must be a subset of exact pairs; recall high."""
+    from activedata_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_near_dup_on_synthetic(spark):
+    """Identical docs -> hamming 0; near-identical -> small hamming."""
+    from activedata_etl_spark.operators.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    # doc 3 swaps ONE token occurrence of 180 -> tiny weight shift
+    rows = [(1, base), (2, base), (3, base.replace("lazy", "sleepy", 1)),
+            (4, "completely different text about spark engines and parquet files " * 15)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # banding guarantee zone
+    assert not any(4 in p for p in pairs)
+
+
+def test_exact_dup_groups(spark):
+    from activedata_etl_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa")], "doc_id long, text string"
+    )
+    g = exact_dup_groups(df, "doc_id", "text").collect()
+    assert len(g) == 1
+    assert g[0]["n_docs"] == 3 and g[0]["keep_id"] == 1
+    assert g[0]["doc_ids"] == [1, 2, 4]
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    from activedata_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, q, k=5, n_planes=2, n_tables=6).collect()
+    }
+    # multi-table LSH on near-random embeddings: miss prob ~(1-p)^L
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.6, f"ANN recall {recall:.2f}"
+    # scores must be true cosines: spot-check range
+    row = next(iter(lsh_ann_topk(emb, q, k=1, n_planes=2, n_tables=2).collect()))
+    assert -1.0 <= row["score"] <= 1.0
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    from activedata_etl_spark.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(docs.limit(20))
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["kind"] in ("image", "audio", "video")
+        assert r["n_bytes"] > 0
+        assert len(r["payload_sha256"]) == 64
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+    # determinism: same payload -> same feature
+    again = extract_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+
+
+def test_quarantine_invalid_and_late(spark, tmp_path):
+    """Dead-letter (null key) + DATA_TOO_OLD late events go to quarantine."""
+    from activedata_etl_spark.functions.normalize import normalize_batch
+    from activedata_etl_spark.lake.merge import apply_batch
+    from activedata_etl_spark.streaming.replay import ensure_table
+
+    cols = ("partition int, offset long, commit_seq long, op string, repo string, "
+            "path string, commit string, lang string, content string, ts timestamp")
+    import datetime as dt
+
+    t1 = dt.datetime(2024, 6, 1)
+    old = dt.datetime(2023, 1, 1)
+    b0 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", t1)], cols
+    )
+    loc = str(tmp_path / "lake_q")
+    table = ensure_table(spark, loc, b0.schema)
+    apply_batch(table, normalize_batch(b0), 0, late_threshold_sec=86400)
+
+    b1 = spark.createDataFrame(
+        [
+            (0, 1, 1, "insert", None, "bad.py", "d" * 12, None, "Y", t1),   # invalid
+            (0, 2, 2, "insert", "r", "late.py", "e" * 12, None, "Z", old),  # too late
+            (0, 3, 3, "insert", "r", "ok.py", "f" * 12, None, "W", t1),     # fine
+        ],
+        cols,
+    )
+    s = apply_batch(table, normalize_batch(b1), 1, late_threshold_sec=86400)
+    assert s["rows_applied"] == 1
+    lin = table.read_lineage().where("partition = -1").orderBy("batch_id").collect()
+    assert lin[-1]["invalid_events"] == 1 and lin[-1]["late_events"] == 1
+
+    qr = spark.read.parquet(f"{loc}/quarantine/b1")
+    assert {r["path"] for r in qr.collect()} == {"bad.py", "late.py"}
+    assert {r["path"] for r in table.read().collect()} == {"a.py", "ok.py"}
