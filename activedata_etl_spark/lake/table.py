@@ -258,6 +258,41 @@ class SnapshotTable:
         self._commit_snapshot(new)
         return new_version
 
+    def update_where(self, condition, set_exprs: dict) -> int:
+        """UPDATE ... SET ... WHERE — the reference's in-place update
+        (`ListContainer.update({"set","clear","where"})`,
+        `vendor/jx_python/containers/list_usingPythonList.py:122-139`).
+        Copy-on-write: rewrites the table at a new snapshot version."""
+        snap = self.snapshot()
+        df = self.read(include_tombstones=True)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for name, expr in set_exprs.items():
+            value = F.expr(expr) if isinstance(expr, str) else expr
+            df = df.withColumn(name, F.when(cond, value).otherwise(F.col(name)))
+        return self._rewrite(snap, df)
+
+    def delete_where(self, condition) -> int:
+        """DELETE FROM ... WHERE (`Index.delete_record`,
+        `vendor/pyLibrary/env/elasticsearch.py:241`).  Rows are physically
+        removed (maintenance op, not a CDC tombstone)."""
+        snap = self.snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        df = self.read(include_tombstones=True).where(~F.coalesce(cond, F.lit(False)))
+        return self._rewrite(snap, df)
+
+    def _rewrite(self, snap: dict, df: DataFrame) -> int:
+        new_version = snap["version"] + 1
+        df = self.bucket_of(df)
+        rel = self.write_buckets(df, new_version)
+        new = dict(snap)
+        new["version"] = new_version
+        new["parent"] = snap["version"]
+        new["ts_ms"] = int(time.time() * 1000)
+        new["bucket_dirs"] = {b: rel for b in snap["bucket_dirs"]}
+        new["dir_versions"] = {rel: new_version}
+        self._commit_snapshot(new)
+        return new_version
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop snapshot files and data dirs unreachable from the newest
         ``keep_last`` snapshots (Iceberg ``expireSnapshots`` analog)."""

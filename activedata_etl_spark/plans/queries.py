@@ -506,6 +506,31 @@ FROM ordered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q21_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-JSON extraction (mo_json/stream.py expected-vars analog):
+    pull typed values out of the props JSON column, aggregate."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q21 = """
+SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -789,6 +814,7 @@ SPARK_QUERIES = {
     "q18_cube": q18_cube,
     "q19_window_lag": q19_window_lag,
     "q20_first_last": q20_first_last,
+    "q21_json_extract": q21_json_extract,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -825,6 +851,7 @@ ORACLE_SQL = {
     "q18_cube": ORACLE_Q18,
     "q19_window_lag": ORACLE_Q19,
     "q20_first_last": ORACLE_Q20,
+    "q21_json_extract": ORACLE_Q21,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,

@@ -77,6 +77,8 @@ def replay_journal(
     n_buckets: int = 64,
     late_threshold_sec: int | None = None,
     persist: bool = True,
+    offset_range: tuple[int, int] | None = None,
+    verbose: bool = False,
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -84,8 +86,16 @@ def replay_journal(
     journal partition, so per-partition delivery order is preserved while
     commit_seq stays out-of-order (bounded-delay permutation), exercising the
     external_gte guard.
+
+    ``offset_range=(lo, hi)`` replays a bounded slice — the reference's
+    backfill-by-key-range (`etl_one`/`parse_id_argument`,
+    `activedata_etl/etl.py:457-512`).
     """
     journal = spark.read.option("mergeSchema", "true").parquet(journal_dir)
+    if offset_range is not None:
+        journal = journal.where(
+            F.col("offset").between(offset_range[0], offset_range[1])
+        )
     table = ensure_table(spark, table_location, journal.schema, n_buckets=n_buckets)
 
     max_offset = journal.select(F.max("offset")).first()[0]
@@ -114,6 +124,15 @@ def replay_journal(
         if not s.get("skipped"):
             total_read += s["rows_read"]
             total_applied += s["rows_applied"]
+            if verbose:
+                # progress metric: events/sec per batch (push_to_es.py:88-97)
+                dur = max(s.get("duration_ms", 0), 1) / 1000
+                print(
+                    f"[replay] batch {i}: {s['rows_read']} events in {dur:.1f}s "
+                    f"({s['rows_read'] / dur:,.0f} events/sec), "
+                    f"applied={s['rows_applied']} deletes={s['deletes_applied']} "
+                    f"conflicts={s['merge_conflicts_resolved']}"
+                )
         ran += 1
     elapsed = time.time() - t0
     return {
@@ -170,3 +189,26 @@ def stream_journal(
     if available_now:
         q.awaitTermination(timeout=timeout_sec)
     return q
+
+
+def split_sink(tables: list[SnapshotTable], **apply_kwargs):
+    """Tee one micro-batch stream into several tables, each with its own
+    epoch fence (`activedata_etl/sinks/split.py:12-31` analog).
+
+    Use as ``stream.writeStream.foreachBatch(split_sink([t1, t2]))``.
+    """
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        prepared = normalize_keys(df)
+        for t in tables:
+            apply_batch(
+                t, prepared, epoch_id,
+                finalize_fn=finalize_records, enforce_watermark=False,
+                **apply_kwargs,
+            )
+
+    return sink
+
+
+def noop_sink(df: DataFrame, epoch_id: int) -> None:
+    """Dev-null sink (`activedata_etl/sinks/dummy_sink.py` analog)."""
+    df.write.format("noop").mode("overwrite").save()
