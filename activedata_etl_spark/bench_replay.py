@@ -14,19 +14,24 @@ import sys
 
 
 def main() -> None:
-    par, chunk = int(sys.argv[1]), int(sys.argv[2])
+    par, chunk = sys.argv[1], int(sys.argv[2])
     journal_dir, lake_dir = sys.argv[3], sys.argv[4]
     salted = len(sys.argv) > 5 and sys.argv[5] == "salted"
 
     from activedata_etl_spark.session import get_spark
     from activedata_etl_spark.streaming.replay import replay_journal
 
+    if "x" in par:
+        e, c = par.split("x")
+        total = int(e) * int(c)
+    else:
+        total = int(par)
     spark = get_spark(
-        f"bench_replay_{par}", parallelism=par, shuffle_partitions=par * 2
+        f"bench_replay_{par}", parallelism=par, shuffle_partitions=total * 2
     )
     r = replay_journal(
         spark, journal_dir, lake_dir, chunk_events=chunk,
-        salted=salted, persist=False,
+        salted=salted, persist=False, lineage_level="summary",
     )
     print(json.dumps({
         "par": par,

@@ -62,6 +62,8 @@ def apply_batch(
     finalize_fn=None,
     persist: bool = True,
     enforce_watermark: bool = True,
+    lineage_level: str = "full",
+    precomputed_watermarks: dict[int, int] | None = None,
 ) -> dict:
     """Apply one micro-batch of change events; returns a lineage summary.
 
@@ -128,49 +130,80 @@ def apply_batch(
     )
     drop_row = F.col("__below") | F.col("__invalid") | F.col("__late")
     has_ts = ts_col in batch.columns
+    persisted = flagged
     if persist:
-        flagged.persist()
+        persisted.persist()
     try:
-        # ONE pre-pass job: per-partition lineage counters + touched buckets
-        part_rows = (
-            flagged.groupBy(partition_col)
-            .agg(
-                F.min(offset_col).alias("min_offset"),
-                F.max(offset_col).alias("max_offset"),
+        pre_obs = None
+        if lineage_level == "full":
+            # ONE pre-pass job: per-partition lineage counters + touched buckets
+            part_rows = (
+                flagged.groupBy(partition_col)
+                .agg(
+                    F.min(offset_col).alias("min_offset"),
+                    F.max(offset_col).alias("max_offset"),
+                    F.count(F.lit(1)).alias("rows_read"),
+                    F.sum(F.col("__below").cast("long")).alias("below_watermark"),
+                    F.sum(F.col("__invalid").cast("long")).alias("invalid_events"),
+                    F.sum(F.col("__late").cast("long")).alias("late_events"),
+                    (F.max(F.unix_timestamp(ts_col)) if has_ts else F.lit(None).cast("long")).alias("max_ts"),
+                    F.collect_set(
+                        F.when(~drop_row, F.col(BUCKET_COL))
+                    ).alias("buckets"),
+                )
+                .collect()
+            )
+        else:
+            # "summary": no pre-pass job — counters ride the merge job via a
+            # second Observation; watermarks come precomputed (chunked replay
+            # knows its disjoint offset range analytically); touched = all
+            # buckets (large batches touch them all anyway).
+            part_rows = []
+            pre_obs = Observation(f"pre_b{batch_id}")
+            flagged = flagged.observe(
+                pre_obs,
                 F.count(F.lit(1)).alias("rows_read"),
                 F.sum(F.col("__below").cast("long")).alias("below_watermark"),
                 F.sum(F.col("__invalid").cast("long")).alias("invalid_events"),
                 F.sum(F.col("__late").cast("long")).alias("late_events"),
-                (F.max(F.unix_timestamp(ts_col)) if has_ts else F.lit(None).cast("long")).alias("max_ts"),
-                F.collect_set(
-                    F.when(~drop_row, F.col(BUCKET_COL))
-                ).alias("buckets"),
+                F.min(offset_col).alias("min_offset"),
+                F.max(offset_col).alias("max_offset"),
+                (F.max(F.unix_timestamp(ts_col)) if has_ts else F.max(F.lit(None).cast("long"))).alias("max_ts"),
             )
-            .collect()
-        )
+
         t_pre = time.time()
-        touched = sorted({b for r in part_rows for b in r["buckets"]})
+        if lineage_level == "full":
+            touched = sorted({b for r in part_rows for b in r["buckets"]})
+        else:
+            touched = list(range(snap["n_buckets"]))
         live = flagged.where(~drop_row).drop("__below", "__invalid", "__late")
 
         stored_cols = [c for c in batch.columns if c not in ENVELOPE_DROP]
         new_wm = dict(wm)
-        for r in part_rows:
-            p = int(r[partition_col])
-            new_wm[p] = max(new_wm.get(p, -1), int(r["max_offset"]))
-        batch_max_ts = max(
-            (int(r["max_ts"]) for r in part_rows if r["max_ts"] is not None),
-            default=None,
-        )
+        for p, o in (precomputed_watermarks or {}).items():
+            new_wm[int(p)] = max(new_wm.get(int(p), -1), int(o))
+        batch_max_ts = None
+        total_read = total_dropped = n_quarantined = 0
+        if lineage_level == "full":
+            for r in part_rows:
+                p = int(r[partition_col])
+                new_wm[p] = max(new_wm.get(p, -1), int(r["max_offset"]))
+            batch_max_ts = max(
+                (int(r["max_ts"]) for r in part_rows if r["max_ts"] is not None),
+                default=None,
+            )
+            total_read = sum(r["rows_read"] for r in part_rows)
+            total_dropped = sum(
+                r["below_watermark"] + r["invalid_events"] + r["late_events"]
+                for r in part_rows
+            )
+            n_quarantined = sum(
+                r["invalid_events"] + r["late_events"] for r in part_rows
+            )
         new_max_event_ts = max(
             (x for x in (max_event_ts, batch_max_ts) if x is not None), default=None
         )
 
-        total_read = sum(r["rows_read"] for r in part_rows)
-        total_dropped = sum(
-            r["below_watermark"] + r["invalid_events"] + r["late_events"]
-            for r in part_rows
-        )
-        n_quarantined = sum(r["invalid_events"] + r["late_events"] for r in part_rows)
         if n_quarantined:
             # quarantine table: malformed + too-late events, kept for audit
             import os as _os
@@ -181,7 +214,7 @@ def apply_batch(
                 .parquet(_os.path.join(table.location, f"quarantine/b{batch_id}"))
             )
 
-        if total_read == total_dropped:
+        if lineage_level == "full" and total_read == total_dropped:
             # nothing live: metadata-only commit (fence + watermark advance)
             s = _commit(
                 table, snap, batch_id, new_wm, part_rows, None, None,
@@ -255,6 +288,10 @@ def apply_batch(
                 applied, deletes = int(row[0] or 0), int(row[1] or 0)
             except Exception:  # empty write -> no readable parquet footers
                 pass
+            part_rows, new_max_event_ts = _summary_counters(
+                pre_obs, part_rows, batch_id, partition_col,
+                new_max_event_ts, table, flagged,
+            )
             s = _commit(
                 table, snap, batch_id, new_wm, part_rows, touched, rel,
                 schema_json=merged_schema.jsonValue(), changes=changes,
@@ -320,6 +357,10 @@ def apply_batch(
                 F.sum((src_wins & ~s_deleted).cast("long")).alias("applied"),
             ).first().asDict()
 
+        part_rows, new_max_event_ts = _summary_counters(
+            pre_obs, part_rows, batch_id, partition_col,
+            new_max_event_ts, table, flagged,
+        )
         s = _commit(
             table, snap, batch_id, new_wm, part_rows, touched, rel,
             schema_json=merged_schema.jsonValue(), changes=changes,
@@ -331,7 +372,45 @@ def apply_batch(
         return s
     finally:
         if persist:
-            flagged.unpersist()
+            persisted.unpersist()
+
+
+def _summary_counters(
+    pre_obs, part_rows, batch_id, partition_col, new_max_event_ts, table, flagged
+):
+    """In summary lineage mode, collect the batch-global counters from the
+    Observation that rode the merge job, and late-write the quarantine table
+    if anything was diverted."""
+    if pre_obs is None:
+        return part_rows, new_max_event_ts
+    try:
+        p = pre_obs.get
+    except Exception:
+        return part_rows, new_max_event_ts
+    row = {
+        partition_col: -2,  # -2 = all-partitions summary (no per-partition split)
+        "min_offset": int(p["min_offset"] or 0),
+        "max_offset": int(p["max_offset"] or 0),
+        "rows_read": int(p["rows_read"] or 0),
+        "below_watermark": int(p["below_watermark"] or 0),
+        "invalid_events": int(p["invalid_events"] or 0),
+        "late_events": int(p["late_events"] or 0),
+    }
+    if p.get("max_ts") is not None:
+        new_max_event_ts = max(
+            x for x in (new_max_event_ts, int(p["max_ts"])) if x is not None
+        )
+    if row["invalid_events"] or row["late_events"]:
+        import os as _os
+
+        from pyspark.sql import functions as _F
+        (
+            flagged.where(_F.col("__invalid") | _F.col("__late"))
+            .drop("__below", BUCKET_COL)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(table.location, f"quarantine/b{batch_id}"))
+        )
+    return [row], new_max_event_ts
 
 
 def _commit(

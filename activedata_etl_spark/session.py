@@ -16,23 +16,41 @@ from pyspark.sql import SparkSession
 
 def get_spark(
     app_name: str = "activedata_etl_spark",
-    parallelism: int | None = None,
+    parallelism: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executor_mem: str = "4g",
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    parallelism: N for ``local[N]``; defaults to $SPARK_GRAFT_CPUS or '*'.
-    shuffle_partitions: defaults to max(parallelism, 32) — at cluster scale
-    this would be set to ~2-3x total cores instead.
+    parallelism: N for ``local[N]``, or "ExC" (e.g. "8x2") for
+    ``local-cluster[E, C, mem]`` — E separate executor JVM *processes* with C
+    cores each.  local-cluster is the honest stand-in for a multi-executor
+    cluster: this sandbox caps CPU per *process*, so thread-based local[N]
+    cannot scale past ~8 threads no matter the code, while separate executor
+    processes can (measured; see BASELINE.md).
+    shuffle_partitions: defaults to max(total cores, 32).
     """
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS")
-    master = f"local[{cpus}]" if cpus else "local[*]"
-    n_shuffle = shuffle_partitions or max(int(cpus) if cpus else 32, 32)
+    total_cores = 32
+    if cpus and "x" in str(cpus):
+        execs, cores = str(cpus).split("x")
+        mem_mb = int(executor_mem.rstrip("g")) * 1024
+        master = f"local-cluster[{execs},{cores},{mem_mb}]"
+        total_cores = int(execs) * int(cores)
+    elif cpus:
+        master = f"local[{cpus}]"
+        total_cores = int(cpus)
+    else:
+        master = "local[*]"
+    n_shuffle = shuffle_partitions or max(total_cores, 32)
 
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.executor.memory", executor_mem)
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

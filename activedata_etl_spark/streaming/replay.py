@@ -79,6 +79,7 @@ def replay_journal(
     persist: bool = True,
     offset_range: tuple[int, int] | None = None,
     verbose: bool = False,
+    lineage_level: str = "full",
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -104,6 +105,12 @@ def replay_journal(
 
     n_chunks = int(max_offset // chunk_events) + 1
     done_through = table.last_batch_id()
+    partitions: list[int] = []
+    if lineage_level == "summary":
+        # chunked replay covers disjoint offset ranges, so the watermark for
+        # every journal partition can advance to the chunk's upper bound
+        # analytically — no scan needed
+        partitions = [r[0] for r in journal.select("partition").distinct().collect()]
     t0 = time.time()
     total_read = total_applied = ran = 0
     summaries = []
@@ -119,6 +126,10 @@ def replay_journal(
             table, normalize_keys(chunk), i, salted=salted,
             late_threshold_sec=late_threshold_sec,
             finalize_fn=finalize_records, persist=persist,
+            lineage_level=lineage_level,
+            precomputed_watermarks=(
+                {p: hi for p in partitions} if lineage_level == "summary" else None
+            ),
         )
         summaries.append(s)
         if not s.get("skipped"):
