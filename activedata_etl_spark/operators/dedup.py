@@ -156,8 +156,22 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # verify ONLY the candidate pairs: join each side's (distinct) shingle
+    # set and compute Jaccard via array_intersect — O(candidates), not
+    # O(all-pairs-sharing-a-shingle)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, seed: int = 11) -> DataFrame:
@@ -222,17 +236,45 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding column.
 
-    Baseline all-pairs formulation (fine at verification scale; the
-    sub-quadratic path is similarity.lsh_ann_topk's hyperplane buckets).
+    Physical strategy: the corpus matrix is broadcast (ids + float32
+    vectors — compact), and each partition's block multiplies against it
+    with numpy (Arrow-batched mapInPandas, BLAS matmul) — orders of
+    magnitude faster than per-element Catalyst higher-order functions on a
+    cross join.  At 10^8+ vectors the same pattern shards the broadcast
+    side into chunks (block × chunk tiles); the sub-quadratic alternative
+    is similarity.lsh_ann_topk's hyperplane buckets.
     """
-    from activedata_etl_spark.operators.similarity import cosine
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sc = df.sparkSession.sparkContext
+    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def block(batches):
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+            sims = (bmat @ b_mat.value.T) / np.outer(bnorm, b_norms.value)
+            sims = np.round(sims, 6)
+            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < b_ids.value[None, :]))
+            yield pd.DataFrame({
+                "id_a": bids[ii], "id_b": b_ids.value[jj], "cosine": sims[ii, jj]
+            })
+
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        df.select(id_col, vec_col)
+        .mapInPandas(block, out_schema)
+        .orderBy("id_a", "id_b")
     )
