@@ -195,6 +195,10 @@ def compile_expr(e: Any) -> Column:
         return F.unix_timestamp(compile_expr(args))
     if op == "from_unix":
         return F.from_unixtime(compile_expr(args)).cast("timestamp")
+    if op == "script":
+        # raw backend escape hatch (ScriptOp, jx_base/expressions.py:490):
+        # the "backend script" here is a Spark SQL expression
+        return F.expr(args)
     raise ValueError(f"unsupported jx operator: {op}")
 
 
@@ -284,6 +288,10 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
         for s in sels:
             if isinstance(s, str):
                 cols.append(F.col("*") if s == "." else F.col(s))
+            elif isinstance(s.get("value"), dict) and "leaves" in s["value"]:
+                # LeavesOp ({"leaves": v}): expand object to its leaf columns
+                # (jx_base/expressions.py:910-933) -> struct star-expansion
+                cols.append(F.col(f'{s["value"]["leaves"]}.*'))
             else:
                 cols.append(compile_expr(s["value"]).alias(s.get("name") or str(s["value"])))
         df = df.select(*cols)

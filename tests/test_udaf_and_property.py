@@ -1,0 +1,95 @@
+"""Custom Arrow aggregations + hypothesis property test for LWW invariance."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.functions.udaf import mode_agg, trimmed_mean_agg
+from activedata_etl_spark.operators.lww import lww_reduce
+
+
+def test_mode_and_trimmed_mean(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("a", "x", 100.0),
+         ("b", "z", 5.0), ("b", "w", 5.0)],
+        "g string, v string, n double",
+    )
+    got = {
+        r["g"]: (r["m"], r["tm"])
+        for r in df.groupBy("g").agg(
+            mode_agg("v").alias("m"), trimmed_mean_agg("n").alias("tm")
+        ).collect()
+    }
+    assert got["a"][0] == "x"
+    assert got["b"][0] == "w"  # tie -> lexicographically smallest
+    assert abs(got["a"][1] - (103.0 / 3)) < 1e-9
+
+
+def test_jx_script_and_leaves(spark):
+    from activedata_etl_spark.plans import jx
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int").select(
+        "a", F.struct(F.col("b").alias("inner"), F.lit("s").alias("tag")).alias("obj")
+    )
+    out = jx.run(
+        {"from": "t",
+         "select": ["a", {"name": "calc", "value": {"script": "a * 10 + obj.inner"}},
+                    {"value": {"leaves": "obj"}}]},
+        {"t": df},
+    )
+    row = out.first()
+    assert row["calc"] == 12 and row["inner"] == 2 and row["tag"] == "s"
+
+
+# ---------------------------------------------------------------------------
+# property: LWW reduce == python reduce, for arbitrary event sets and
+# arbitrary partitioning (hypothesis-generated)
+# ---------------------------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # key id
+        st.integers(min_value=0, max_value=50),    # commit_seq
+        st.integers(min_value=0, max_value=50),    # offset
+        st.sampled_from(["insert", "update", "delete"]),
+        st.text(alphabet="abc", max_size=4),       # content
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=events_strategy, n_parts=st.integers(min_value=1, max_value=5))
+def test_lww_matches_python_reduce(spark, events, n_parts):
+    rows = [
+        (f"repo{k % 2}", f"p{k}", int(cs), int(off), op, c)
+        for (k, cs, off, op, c) in events
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit_seq long, offset long, op string, content string"
+    ).repartition(n_parts)
+    got = {
+        (r["repo"], r["path"]): (r["commit_seq"], r["offset"], r["op"], r["content"])
+        for r in lww_reduce(df).collect()
+    }
+
+    expect: dict = {}
+    for repo, path, cs, off, op, c in rows:
+        k = (repo, path)
+        if k not in expect or (cs, off) > (expect[k][0], expect[k][1]):
+            expect[k] = (cs, off, op, c)
+    # ties on (commit_seq, offset): duplicates may differ in payload — the
+    # engine picks one deterministically; compare only where versions unique
+    from collections import Counter
+
+    vc = Counter((r[0], r[1], r[2], r[3]) for r in rows)
+    for k, v in expect.items():
+        assert got[k][:2] == v[:2]
+        key_rows = [r for r in rows if (r[0], r[1]) == k and (r[2], r[3]) == v[:2]]
+        if len({(r[4], r[5]) for r in key_rows}) == 1:
+            assert got[k] == v
