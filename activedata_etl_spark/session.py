@@ -33,11 +33,18 @@ def get_spark(
     """
     cpus = parallelism or os.environ.get("SPARK_GRAFT_CPUS")
     total_cores = 32
+    executor_java_opts = None
     if cpus and "x" in str(cpus):
         execs, cores = str(cpus).split("x")
         mem_mb = int(executor_mem.rstrip("g")) * 1024
         master = f"local-cluster[{execs},{cores},{mem_mb}]"
         total_cores = int(execs) * int(cores)
+        # make each executor an honest C-core container: the JVM sizes its
+        # GC/JIT/common pools for C cpus instead of the host's 32 (this is
+        # exactly what cgroup cpu limits do to the JVM on a real cluster);
+        # measured: it both stops small configs bursting past their nominal
+        # cores AND speeds up large configs (less thread thrash)
+        executor_java_opts = f"-XX:ActiveProcessorCount={cores}"
     elif cpus:
         master = f"local[{cpus}]"
         total_cores = int(cpus)
@@ -51,6 +58,11 @@ def get_spark(
         .config("spark.executor.memory", executor_mem)
         .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
         .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+    )
+    if executor_java_opts:
+        b = b.config("spark.executor.extraJavaOptions", executor_java_opts)
+    b = (
+        b
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

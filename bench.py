@@ -34,9 +34,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(1 << 23)))
-CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", str(N_EVENTS // 2)))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(1 << 25)))
+# single batch: per-batch driver fixed cost (~10 s: planning, AQE stage
+# scheduling, commit) would otherwise dominate — at 10^10 scale batches are
+# 100M+ events, which this approximates; multi-batch resume is correctness-
+# tested in pytest
+CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", str(N_EVENTS)))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 # N vs 4N EXECUTORS (separate JVM processes via local-cluster[E,C,mem]).
 # This sandbox caps CPU per *process* — thread-based local[N] cannot scale
 # past ~8 threads no matter the code (measured: 32 threads in one process get
@@ -87,17 +91,15 @@ def replay_subprocess(par: str, journal: str, lake: str, salted: bool = False) -
     return json.loads(line)
 
 
-def best_of(par: str, journal: str, workdir: str, salted: bool = False) -> dict:
-    best = None
-    for i in range(REPS):
-        lake = os.path.join(
-            workdir, f"lake_{par}_{'s' if salted else 'u'}_{i}"
-        )
-        r = replay_subprocess(par, journal, lake, salted)
-        shutil.rmtree(lake, ignore_errors=True)
-        if best is None or r["events_per_sec"] > best["events_per_sec"]:
-            best = r
-    return best
+def _measure(par: str, journal: str, workdir: str, tag: str, salted: bool = False) -> dict:
+    lake = os.path.join(workdir, f"lake_{tag}")
+    r = replay_subprocess(par, journal, lake, salted)
+    shutil.rmtree(lake, ignore_errors=True)
+    return r
+
+
+def _best(a: dict | None, b: dict) -> dict:
+    return b if a is None or b["events_per_sec"] > a["events_per_sec"] else a
 
 
 def main() -> None:
@@ -128,10 +130,15 @@ def main() -> None:
         cap_big = cpu_capacity(e_big)
         cap_ratio = cap_big / cap_small if cap_small else float("nan")
 
-        # ---- CDC replay at N and 4N executors (fresh JVMs, best of REPS) --
-        r_small = best_of(SMALL_SPEC, journal_dir, workdir)
-        r_big = best_of(BIG_SPEC, journal_dir, workdir)
-        r_salt = best_of(BIG_SPEC, journal_dir, workdir, salted=True)
+        # ---- CDC replay at N and 4N executors (fresh JVMs, best of REPS,
+        #      levels INTERLEAVED so slow VM periods hit both equally) ------
+        r_small = r_big = r_salt = None
+        for i in range(REPS):
+            r_small = _best(r_small, _measure(SMALL_SPEC, journal_dir, workdir, f"s{i}"))
+            r_big = _best(r_big, _measure(BIG_SPEC, journal_dir, workdir, f"b{i}"))
+            r_salt = _best(
+                r_salt, _measure(BIG_SPEC, journal_dir, workdir, f"x{i}", salted=True)
+            )
 
         eps_small, eps_big = r_small["events_per_sec"], r_big["events_per_sec"]
         speedup = eps_big / eps_small if eps_small else 0.0
