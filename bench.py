@@ -46,7 +46,7 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 # past ~8 threads no matter the code (measured: 32 threads in one process get
 # 17x LESS cpu than 32 processes) — so executor processes are the honest
 # stand-in for cluster executors.
-LEVELS = os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "2x2,8x2").split(",")
+LEVELS = os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "1x2,4x2").split(",")
 SMALL_SPEC, BIG_SPEC = LEVELS[0], LEVELS[1]
 
 
