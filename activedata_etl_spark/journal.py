@@ -200,9 +200,49 @@ def write_journal(
 
 
 def read_journal(spark: SparkSession, journal_dir: str) -> DataFrame:
-    """Read all segments, aligning schemas (missing ``mode`` -> null)."""
-    df = spark.read.option("mergeSchema", "true").parquet(journal_dir)
-    return df
+    """Read all segments, aligning schemas (missing ``mode`` -> null).
+
+    Per-segment reads + unionByName instead of ``mergeSchema`` — the latter
+    distributes a footer-merging job over every file on each invocation;
+    segment schemas are self-consistent so two footer reads suffice.
+    """
+    import glob as _glob
+
+    seg_dirs = sorted(_glob.glob(f"{journal_dir.rstrip('/')}/seg=*"))
+    if not seg_dirs:
+        return spark.read.parquet(journal_dir)
+    out = None
+    for d in seg_dirs:
+        df = spark.read.parquet(d)
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def journal_metadata(journal_dir: str) -> dict:
+    """max offset + journal-partition id range, from parquet footer stats
+    only (driver-side pyarrow; no Spark job).  Used by the replay driver to
+    size chunks and precompute watermarks analytically."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    max_offset = None
+    p_min = p_max = None
+    for f in _glob.glob(f"{journal_dir.rstrip('/')}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        off_i = schema_names.index("offset")
+        part_i = schema_names.index("partition")
+        for rg in range(md.num_row_groups):
+            so = md.row_group(rg).column(off_i).statistics
+            sp = md.row_group(rg).column(part_i).statistics
+            if so is not None and so.has_min_max:
+                max_offset = so.max if max_offset is None else max(max_offset, so.max)
+            if sp is not None and sp.has_min_max:
+                p_min = sp.min if p_min is None else min(p_min, sp.min)
+                p_max = sp.max if p_max is None else max(p_max, sp.max)
+    partitions = list(range(int(p_min), int(p_max) + 1)) if p_min is not None else []
+    return {"max_offset": max_offset, "partitions": partitions}
 
 
 def expected_state_df(journal: DataFrame) -> DataFrame:

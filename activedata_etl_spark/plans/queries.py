@@ -531,6 +531,51 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q22_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical grouping-sets rollup (dense-cube analog, SURVEY §2.5)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 4) AS rev
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q23_explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Array explode (1-source-row -> N child rows, the ETL 'join' step
+    analog, activedata_etl/__init__.py:20-50): top tokens by frequency."""
+    d = _t(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .where(F.length("token") >= 6)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(25)
+    )
+
+
+ORACLE_Q23 = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents)
+WHERE length(token) >= 6
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -815,6 +860,8 @@ SPARK_QUERIES = {
     "q19_window_lag": q19_window_lag,
     "q20_first_last": q20_first_last,
     "q21_json_extract": q21_json_extract,
+    "q22_rollup": q22_rollup,
+    "q23_explode_tokens": q23_explode_tokens,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -852,6 +899,8 @@ ORACLE_SQL = {
     "q19_window_lag": ORACLE_Q19,
     "q20_first_last": ORACLE_Q20,
     "q21_json_extract": ORACLE_Q21,
+    "q22_rollup": ORACLE_Q22,
+    "q23_explode_tokens": ORACLE_Q23,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,

@@ -92,25 +92,26 @@ def replay_journal(
     backfill-by-key-range (`etl_one`/`parse_id_argument`,
     `activedata_etl/etl.py:457-512`).
     """
-    journal = spark.read.option("mergeSchema", "true").parquet(journal_dir)
+    from activedata_etl_spark.journal import journal_metadata, read_journal
+
+    journal = read_journal(spark, journal_dir)
     if offset_range is not None:
         journal = journal.where(
             F.col("offset").between(offset_range[0], offset_range[1])
         )
     table = ensure_table(spark, table_location, journal.schema, n_buckets=n_buckets)
 
-    max_offset = journal.select(F.max("offset")).first()[0]
+    # max offset + partition set from parquet footer stats (no Spark job)
+    meta = journal_metadata(journal_dir)
+    max_offset = meta["max_offset"]
+    if offset_range is not None and max_offset is not None:
+        max_offset = min(max_offset, offset_range[1])
     if max_offset is None:
         return {"batches": 0, "events": 0, "elapsed_sec": 0.0, "events_per_sec": 0.0}
 
     n_chunks = int(max_offset // chunk_events) + 1
     done_through = table.last_batch_id()
-    partitions: list[int] = []
-    if lineage_level == "summary":
-        # chunked replay covers disjoint offset ranges, so the watermark for
-        # every journal partition can advance to the chunk's upper bound
-        # analytically — no scan needed
-        partitions = [r[0] for r in journal.select("partition").distinct().collect()]
+    partitions: list[int] = meta["partitions"]
     t0 = time.time()
     total_read = total_applied = ran = 0
     summaries = []
@@ -173,7 +174,9 @@ def stream_journal(
     foreachBatch gives the transactional boundary; epochId is the fence.
     Returns the (terminated, when available_now) StreamingQuery.
     """
-    static_schema = spark.read.option("mergeSchema", "true").parquet(journal_dir).schema
+    from activedata_etl_spark.journal import read_journal as _rj
+
+    static_schema = _rj(spark, journal_dir).schema
     table = ensure_table(spark, table_location, static_schema, n_buckets=n_buckets)
 
     stream = (
