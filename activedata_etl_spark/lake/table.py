@@ -233,6 +233,18 @@ class SnapshotTable:
         )
         return rel
 
+    def written_buckets(self, rel: str) -> list[str]:
+        """Bucket ids actually present under a written data dir (from the
+        dynamic-partition directory names; no Spark job)."""
+        root = os.path.join(self.location, rel)
+        prefix = f"{BUCKET_COL}="
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            (d[len(prefix):] for d in os.listdir(root) if d.startswith(prefix)),
+            key=int,
+        )
+
     # -------------------------------------------------------- maintenance
 
     def compact(self, drop_tombstones: bool = False) -> int:
@@ -253,7 +265,7 @@ class SnapshotTable:
         new["version"] = new_version
         new["parent"] = snap["version"]
         new["ts_ms"] = int(time.time() * 1000)
-        new["bucket_dirs"] = {b: rel for b in snap["bucket_dirs"]}
+        new["bucket_dirs"] = {b: rel for b in self.written_buckets(rel)}
         new["dir_versions"] = {rel: new_version}
         self._commit_snapshot(new)
         return new_version
@@ -288,7 +300,10 @@ class SnapshotTable:
         new["version"] = new_version
         new["parent"] = snap["version"]
         new["ts_ms"] = int(time.time() * 1000)
-        new["bucket_dirs"] = {b: rel for b in snap["bucket_dirs"]}
+        # repoint from what was WRITTEN, not from the old snapshot's bucket
+        # set: a SET on a key column moves rows to new buckets (which must
+        # become visible) and can empty old ones (which must be dropped)
+        new["bucket_dirs"] = {b: rel for b in self.written_buckets(rel)}
         new["dir_versions"] = {rel: new_version}
         self._commit_snapshot(new)
         return new_version

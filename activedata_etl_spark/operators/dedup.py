@@ -15,8 +15,10 @@ Scale notes (10^10 docs):
   reasoning as the salted LWW reduce);
 - minhash-LSH: signature agg + band-bucket equi-join, candidates then
   verified exactly — the classic sub-quadratic path;
-- simhash: 64-bit signature; pigeonhole banding on 16-bit chunks makes
-  hamming<=3 candidates equi-join-able.
+- simhash: 63-bit signature; pigeonhole banding on max_hamming+1 chunks
+  makes hamming<=max_hamming candidates equi-join-able with no recall loss;
+- embedding near-dup: block×block tiling via applyInPandas — per-task
+  memory O(corpus/n_blocks), no driver collect, no broadcast.
 """
 
 from __future__ import annotations
@@ -203,13 +205,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: 4 chunks of 16 bits — any pair within hamming 3
-    agrees on >= 1 chunk, so candidates come from a chunk equi-join.
+    Pigeonhole banding with NO recall loss: a pair within hamming h differs
+    in at most h chunks, so with h+1 chunks at least one chunk agrees —
+    candidates come from a per-chunk equi-join.  Chunk count is DERIVED from
+    ``max_hamming`` (a fixed 4-chunk split silently missed pairs whose 4-8
+    differing bits spread across all 4 chunks).
     """
     sig = simhash(df, id_col, text_col, seed=seed)
+    n_chunks = max_hamming + 1
+    width = -(-63 // n_chunks)  # ceil: 63 signature bits over h+1 chunks
+    mask = (1 << width) - 1
     chunks = [
-        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
+        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias(f"c{c}")
+        for c in range(n_chunks)
     ]
     banded = sig.select("id", "simhash", F.posexplode(F.array(*chunks)).alias("chunk", "cv"))
     left = banded.select(
@@ -232,28 +240,25 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs over an embedding column.
+    """Exact cosine near-dup pairs over an embedding column — fully
+    distributed block×block tiling, NO driver collect, NO broadcast.
 
-    Physical strategy: the corpus matrix is broadcast (ids + float32
-    vectors — compact), and each partition's block multiplies against it
-    with numpy (Arrow-batched mapInPandas, BLAS matmul) — orders of
-    magnitude faster than per-element Catalyst higher-order functions on a
-    cross join.  At 10^8+ vectors the same pattern shards the broadcast
-    side into chunks (block × chunk tiles); the sub-quadratic alternative
-    is similarity.lsh_ann_topk's hyperplane buckets.
+    Each vector is hashed to one of ``n_blocks`` blocks and replicated to
+    every tile (i<=j) its block participates in (``n_blocks`` replicas per
+    row); ``groupBy(tile).applyInPandas`` then BLAS-multiplies the two
+    blocks of each tile.  Per-task memory is O(2·corpus/n_blocks), shuffle
+    volume is O(n_blocks·corpus) — size ``n_blocks`` so a tile fits executor
+    memory (at 10^8 vectors × 768 dims float32, n_blocks≈4096 gives ~150 MB
+    tiles).  Every unordered pair lands in exactly one tile, so the output
+    is exact and duplicate-free.  The sub-quadratic alternative remains
+    similarity.lsh_ann_topk's hyperplane buckets.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    sc = df.sparkSession.sparkContext
-    b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
@@ -261,20 +266,52 @@ def embedding_neardup_pairs(
         T.StructField("cosine", T.DoubleType()),
     ])
 
-    def block(batches):
-        for pdf in batches:
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bnorm = np.sqrt((bmat * bmat).sum(axis=1))
-            sims = (bmat @ b_mat.value.T) / np.outer(bnorm, b_norms.value)
-            sims = np.round(sims, 6)
-            ii, jj = np.nonzero((sims >= threshold) & (bids[:, None] < b_ids.value[None, :]))
-            yield pd.DataFrame({
-                "id_a": bids[ii], "id_b": b_ids.value[jj], "cosine": sims[ii, jj]
-            })
-
-    return (
-        df.select(id_col, vec_col)
-        .mapInPandas(block, out_schema)
-        .orderBy("id_a", "id_b")
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.least(F.col("__blk"), j).cast("int").alias("ti"),
+            F.greatest(F.col("__blk"), j).cast("int").alias("tj"),
+        ),
     )
+    replicated = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("__blk", blk)
+        .withColumn("__tile", F.explode(F.array_distinct(tiles)))
+        .select(
+            F.col("__tile.ti").alias("ti"), F.col("__tile.tj").alias("tj"),
+            "__blk", "id", "vec",
+        )
+    )
+
+    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = key
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if ti == tj:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            bk = pdf["__blk"].to_numpy()
+            a_idx, b_idx = np.nonzero(bk == ti)[0], np.nonzero(bk == tj)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        sims = (mat[a_idx] @ mat[b_idx].T) / np.outer(norms[a_idx], norms[b_idx])
+        sims = np.round(sims, 6)
+        if ti == tj:
+            # within-block: upper triangle only
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids[a_idx][:, None] < ids[b_idx][None, :])
+            )
+            ia, ib = ids[a_idx][ii], ids[b_idx][jj]
+        else:
+            # cross-block: blocks are disjoint so every hit is a distinct
+            # pair — normalize orientation to id_a < id_b
+            ii, jj = np.nonzero(sims >= threshold)
+            xa, xb = ids[a_idx][ii], ids[b_idx][jj]
+            ia, ib = np.minimum(xa, xb), np.maximum(xa, xb)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": sims[ii, jj]})
+
+    return replicated.groupBy("ti", "tj").applyInPandas(tile, out_schema)

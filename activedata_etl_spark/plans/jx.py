@@ -213,8 +213,15 @@ def _domain_expr(edge: dict) -> Column:
         interval = dom.get("interval", 1)
         lo, hi = dom.get("min"), dom.get("max")
         binned = F.floor(value / interval) * interval
+        # build each bound only when given — `value < lit(None)` is NULL and
+        # would bin every row to null when one bound is omitted
+        bound = None
         if lo is not None:
-            binned = F.when((value >= lo) & (value < hi), binned)
+            bound = value >= lo
+        if hi is not None:
+            bound = (value < hi) if bound is None else (bound & (value < hi))
+        if bound is not None:
+            binned = F.when(bound, binned)
         return binned
     if typ in ("time", "duration"):
         interval = dom.get("interval", "day")
@@ -259,8 +266,13 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
                 w = w.orderBy(*_sort_cols(win["sort"]))
             rng = win.get("range")
             if rng:
-                w = w.rowsBetween(rng.get("min", W.unboundedPreceding),
-                                  rng.get("max", 0) - 1 if rng.get("max") else 0)
+                # jx range max is EXCLUSIVE (jx.py:1003-1008 iterates
+                # range(tail, head)); {"max": 0} excludes the current row
+                hi = rng.get("max")
+                w = w.rowsBetween(
+                    rng.get("min", W.unboundedPreceding),
+                    (hi - 1) if hi is not None else 0,
+                )
             agg = win.get("aggregate", "count")
             if agg == "rownum":
                 c = F.row_number().over(w)

@@ -593,14 +593,22 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 """
 
 
+# stop-shingle frequency cap: shingles shared by more than this many docs
+# are dropped from candidate generation — the skew guard that keeps one hot
+# shingle from creating a quadratic join key at web scale.  The oracle
+# applies the IDENTICAL cap (doc sizes stay uncapped on both sides).
+JACCARD_MAX_SHINGLE_FREQ = 100
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
-    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+    ).orderBy("id_a", "id_b")
 
 
-ORACLE_DEDUP_JACCARD = """
+ORACLE_DEDUP_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
 ), sh AS (
@@ -609,7 +617,10 @@ WITH toks AS (
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
   FROM toks
 ), sized AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
-ex AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+keep AS (SELECT shingle FROM ex0 GROUP BY shingle
+         HAVING count(*) <= {JACCARD_MAX_SHINGLE_FREQ}),
+ex AS (SELECT doc_id, shingle FROM ex0 JOIN keep USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM ex a JOIN ex b USING (shingle)
@@ -786,7 +797,9 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_TEXT_FINGERPRINT = """
-SELECT doc_id, (SUM(ascii(c) * (i::BIGINT)) % 1000000007) AS fp FROM (
+-- CAST: DuckDB's SUM over BIGINT returns HUGEINT (-> float64 in pandas);
+-- Spark returns int64 — values agree, dtype must too for the value-hash
+SELECT doc_id, CAST(SUM(ascii(c) * (i::BIGINT)) % 1000000007 AS BIGINT) AS fp FROM (
   SELECT doc_id, unnest(string_split(text, '')) AS c,
          generate_subscripts(string_split(text, ''), 1) AS i
   FROM documents)

