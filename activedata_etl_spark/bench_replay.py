@@ -10,6 +10,7 @@ warmed/fragmented heap and skew comparisons.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -21,17 +22,37 @@ def main() -> None:
     from activedata_etl_spark.session import get_spark
     from activedata_etl_spark.streaming.replay import replay_journal
 
-    if "x" in par:
-        e, c = par.split("x")
-        total = int(e) * int(c)
-    else:
-        total = int(par)
+    # shuffle partitions are CONSTANT across parallelism levels: the north
+    # rule compares the SAME JOB at two cluster sizes, and on a real cluster
+    # shuffle partitions are sized to the data, not the executor count (AQE
+    # coalesces at the small level).  With partitions scaled to cores, the
+    # small level ran 4 partitions x 500MB final aggregates and SPILLED —
+    # handicapping the N level and flattering the ratio.
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32"))
     spark = get_spark(
-        f"bench_replay_{par}", parallelism=par, shuffle_partitions=total * 2
+        f"bench_replay_{par}", parallelism=par, shuffle_partitions=shuffle
     )
+    # untimed warmup: the north metric is SUSTAINED events/sec, and on a real
+    # cluster long-running executors are JIT/codegen-warm.  A fresh JVM pays
+    # warmup once; at the 4N level that cost amortizes over 1/4 the runtime,
+    # which would understate the scaling the warm engine actually delivers.
+    # The warmup replays a small offset slice of the SAME journal through the
+    # SAME code path into a scratch table, compiling the same generated code.
+    warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", str(1 << 21)))
+    if warm > 0:
+        import shutil
+        scratch = lake_dir + "_warm"
+        replay_journal(
+            spark, journal_dir, scratch, chunk_events=warm,
+            offset_range=(0, warm - 1), salted=salted, persist=False,
+            lineage_level="summary",
+            lww_strategy=os.environ.get("SPARK_GRAFT_LWW", "structmax"),
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
     r = replay_journal(
         spark, journal_dir, lake_dir, chunk_events=chunk,
         salted=salted, persist=False, lineage_level="summary",
+        lww_strategy=os.environ.get("SPARK_GRAFT_LWW", "structmax"),
     )
     print(json.dumps({
         "par": par,

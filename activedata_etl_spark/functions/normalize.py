@@ -164,3 +164,39 @@ def typed_encode_udf(js: pd.Series) -> pd.Series:
         return json.dumps(_typed(v), sort_keys=True, separators=(",", ":"))
 
     return js.map(enc)
+
+
+def _untyped(value):
+    """Inverse of ``_typed``: strip sigils, restore dots in keys, unwrap
+    arrays (``untype_path``/``untyped``, vendor/mo_json/typed_encoder.py:36-117)."""
+    if not isinstance(value, dict):
+        return value
+    if NESTED_TYPE in value:
+        return [_untyped(v) for v in value[NESTED_TYPE]]
+    for sigil in (BOOLEAN_TYPE, NUMBER_TYPE, STRING_TYPE):
+        if sigil in value:
+            return value[sigil]
+    out = {}
+    for k, v in value.items():
+        if k == EXISTS_TYPE:
+            continue
+        out[k.replace(",", ".")] = _untyped(v)
+    return out
+
+
+@pandas_udf(T.StringType())
+def typed_decode_udf(js: pd.Series) -> pd.Series:
+    """typed-JSON string -> plain JSON string: the decode half of the
+    round-trip (encode is one-way without this).  ``decode(encode(x)) == x``
+    for JSON without empty-string/None leaves (those are MISSING by mo_dots
+    semantics and are dropped at encode time)."""
+    def dec(s):
+        if s is None or s == "":
+            return None
+        try:
+            v = json.loads(s)
+        except (ValueError, TypeError):
+            return None
+        return json.dumps(_untyped(v), sort_keys=True, separators=(",", ":"))
+
+    return js.map(dec)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from activedata_etl_spark import ENGINE_REVISION
 from activedata_etl_spark.lake.schema_evolution import align_to_schema, merge_schemas
 from activedata_etl_spark.lake.table import BUCKET_COL, DELETED_COL, SnapshotTable
-from activedata_etl_spark.operators.lww import lww_reduce
+from activedata_etl_spark.operators.lww import lww_reduce, lww_reduce_structmax
 
 ENVELOPE_DROP = ["op", "partition"]  # journal envelope not stored in the table
 
@@ -64,6 +64,7 @@ def apply_batch(
     enforce_watermark: bool = True,
     lineage_level: str = "full",
     precomputed_watermarks: dict[int, int] | None = None,
+    lww_strategy: str = "structmax",
 ) -> dict:
     """Apply one micro-batch of change events; returns a lineage summary.
 
@@ -176,7 +177,11 @@ def apply_batch(
             touched = sorted({b for r in part_rows for b in r["buckets"]})
         else:
             touched = list(range(snap["n_buckets"]))
-        live = flagged.where(~drop_row).drop("__below", "__invalid", "__late")
+        # partition id is lineage-only (consumed above via flagged); dropping
+        # it here keeps the envelope column out of the reduce shuffle
+        live = flagged.where(~drop_row).drop(
+            "__below", "__invalid", "__late", partition_col
+        )
 
         stored_cols = [c for c in batch.columns if c not in ENVELOPE_DROP]
         new_wm = dict(wm)
@@ -229,6 +234,10 @@ def apply_batch(
         if salted:
             from activedata_etl_spark.operators.lww import lww_reduce_salted
             reduced = lww_reduce_salted(live, key_cols, list(version_cols))
+        elif lww_strategy == "structmax":
+            # single scan + single shuffle (HashAggregate over max(struct));
+            # measured faster AND better-scaling than the agg+join-back
+            reduced = lww_reduce_structmax(live, key_cols, list(version_cols))
         else:
             reduced = lww_reduce(live, key_cols, list(version_cols))
 
@@ -271,23 +280,28 @@ def apply_batch(
         if not table.existing_bucket_paths(touched):
             # no target data in any touched bucket: pure upsert, no join.
             # Deletes still land as tombstones so later stale arrivals lose.
-            result = src.select(*out_names, BUCKET_COL)
+            # applied/deletes counters ride the WRITE job via Observation —
+            # no read-back pass over the written parquet.
+            up_obs = Observation(f"upsert_b{batch_id}")
+            result = src.select(*out_names, BUCKET_COL).observe(
+                up_obs,
+                F.sum((~F.coalesce(F.col(DELETED_COL), F.lit(False))).cast("long")).alias("applied"),
+                F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")).alias("deletes"),
+            )
             new_version = snap["version"] + 1
             rel = table.write_buckets(result, new_version)
-            import os as _os
             applied = deletes = 0
             try:
-                row = (
-                    spark.read.parquet(_os.path.join(table.location, rel))
-                    .agg(
-                        F.sum((~F.coalesce(F.col(DELETED_COL), F.lit(False))).cast("long")),
-                        F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")),
-                    )
-                    .first()
-                )
+                m = up_obs.get
+                applied, deletes = int(m["applied"] or 0), int(m["deletes"] or 0)
+            except Exception:
+                # CollectMetrics folded away (empty/constant plan) — recount
+                # in one small pass over the winners-only frame
+                row = src.agg(
+                    F.sum((~F.coalesce(F.col(DELETED_COL), F.lit(False))).cast("long")),
+                    F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")),
+                ).first()
                 applied, deletes = int(row[0] or 0), int(row[1] or 0)
-            except Exception:  # empty write -> no readable parquet footers
-                pass
             part_rows, new_max_event_ts = _summary_counters(
                 pre_obs, part_rows, batch_id, partition_col,
                 new_max_event_ts, table, flagged,

@@ -1,0 +1,110 @@
+"""Rollover time-partitioned sink — route rows to time partitions, reject
+too-old rows, expire aged partitions.
+
+Reference parity (`vendor/pyLibrary/env/rollover_index.py:40-130`):
+- ``rollover_field``  timestamp column that decides the partition,
+- ``rollover_interval`` floor(timestamp, interval) names the partition
+  (``_get_queue`` rounds to the interval and routes to that index),
+- ``rollover_max``    rows older than now - max are REJECTED (DATA_TOO_OLD,
+  :74-77) instead of creating ancient partitions,
+- ``_delete_old_indexes`` (:121-130) drops whole indexes past the horizon —
+  here: whole partition directories, an O(1) metadata delete instead of a
+  row-level DELETE.
+
+Spark-first shape: routing is one ``date_trunc`` + dynamic-partition
+parquet write (``partitionBy``), so partition pruning reaches every
+downstream reader, and age-based expiry is directory removal.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_COL = "__rollover"
+PART_FMT = "%Y%m%d_%H%M%S"  # reference INDEX_DATE_FORMAT (rollover_index.py)
+
+
+class RolloverSink:
+    """Append-only time-partitioned parquet sink with age-based expiry."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        *,
+        rollover_field: str = "ts",
+        rollover_interval: str = "month",
+        rollover_max: dt.timedelta | None = None,
+        now: dt.datetime | None = None,
+    ):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self.rollover_field = rollover_field
+        self.rollover_interval = rollover_interval
+        self.rollover_max = rollover_max
+        # injectable clock for deterministic tests
+        self._now = now
+
+    def _part(self) -> "F.Column":
+        return F.date_format(
+            F.date_trunc(self.rollover_interval, F.col(self.rollover_field)),
+            "yyyyMMdd_HHmmss",
+        )
+
+    def write(self, df: DataFrame) -> dict:
+        """Route rows to their time partition; too-old rows are rejected to a
+        quarantine dir (DATA_TOO_OLD), null-timestamp rows are dropped (the
+        reference returns Null as the queue — the row goes nowhere)."""
+        now = self._now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        routed = df.withColumn(PART_COL, self._part())
+        live = routed.where(F.col(PART_COL).isNotNull())
+        if self.rollover_max is not None:
+            horizon = now - self.rollover_max
+            too_old = live.where(F.col(self.rollover_field) < F.lit(horizon))
+            live = live.where(F.col(self.rollover_field) >= F.lit(horizon))
+            n_old = too_old.count()
+            if n_old:
+                (too_old.drop(PART_COL).write.mode("append")
+                 .parquet(os.path.join(self.location, "_too_old")))
+        else:
+            n_old = 0
+        (live.write.mode("append").partitionBy(PART_COL)
+         .parquet(os.path.join(self.location, "data")))
+        return {"rejected_too_old": n_old}
+
+    def read(self, since: dt.datetime | None = None) -> DataFrame:
+        """Scan, optionally bounded below — the partition filter prunes whole
+        directories (verify with .explain: PartitionFilters on __rollover)."""
+        out = self.spark.read.parquet(os.path.join(self.location, "data"))
+        if since is not None:
+            out = out.where(F.col(PART_COL) >= since.strftime(PART_FMT))
+        return out
+
+    def partitions(self) -> list[str]:
+        root = os.path.join(self.location, "data")
+        if not os.path.isdir(root):
+            return []
+        pre = f"{PART_COL}="
+        return sorted(d[len(pre):] for d in os.listdir(root) if d.startswith(pre))
+
+    def expire(self) -> list[str]:
+        """Drop whole partitions older than now - rollover_max
+        (``_delete_old_indexes`` analog: directory delete, no row rewrite)."""
+        if self.rollover_max is None:
+            return []
+        now = self._now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        horizon = (now - self.rollover_max).strftime(PART_FMT)
+        removed = []
+        for p in self.partitions():
+            if p < horizon:
+                shutil.rmtree(
+                    os.path.join(self.location, "data", f"{PART_COL}={p}"),
+                    ignore_errors=True,
+                )
+                removed.append(p)
+        return removed

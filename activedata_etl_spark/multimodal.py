@@ -92,17 +92,22 @@ def extract_features(media: DataFrame) -> DataFrame:
         import hashlib
 
         for pdf in batches:
+            # single column-wise pass (no pdf.apply(axis=1) row loop): a real
+            # codec would likewise consume the payload column as one batch
+            payloads = pdf["payload"].tolist()
+            kinds = pdf["kind"].tolist()
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "payload_sha256": pdf["payload"].map(
-                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
-                    ),
-                    "feature": pdf.apply(
-                        lambda r: _decode_stub(r["payload"], r["kind"]), axis=1
-                    ),
+                    "n_bytes": [len(b) if b is not None else 0 for b in payloads],
+                    "payload_sha256": [
+                        hashlib.sha256(b).hexdigest() if b is not None else None
+                        for b in payloads
+                    ],
+                    "feature": [
+                        _decode_stub(b, k) for b, k in zip(payloads, kinds)
+                    ],
                 }
             )
 

@@ -7,13 +7,23 @@ re-writes merge by key keeping the newest (`activedata_etl/sinks/
 s3_bucket.py:92-118`).  Here: per (repo, path) keep the event with the
 largest (commit_seq, offset).
 
-Three physical strategies, same semantics:
+Four physical strategies, same semantics:
 
-- ``lww_reduce``           groupBy + max_by(struct) — Spark's hash aggregate
-                           does partial (map-side) + final aggregation, i.e.
-                           a built-in two-phase reduce: a hot key collapses to
-                           ONE row per map task before the shuffle, so skew in
-                           the input never reaches the wire.  DEFAULT.
+- ``lww_reduce_structmax`` ONE scan, ONE shuffle: ``max(struct(version...,
+                           payload...))`` — plain Max over an orderable
+                           struct is a DeclarativeAggregate, so Spark runs a
+                           true HashAggregate with map-side partial
+                           aggregation (a hot key collapses to ONE row per
+                           map task before the shuffle).  The version columns
+                           lead the struct so ordering is by version first;
+                           payload columns follow, giving a DETERMINISTIC
+                           tiebreak for distinct events that share a version.
+                           DEFAULT since round 2 (measured faster and
+                           better-scaling than the agg+join-back).
+- ``lww_reduce``           groupBy max(struct(version)) + winner join-back —
+                           two passes over the batch; kept for payloads with
+                           non-orderable columns (maps) and for equivalence
+                           testing.
 - ``lww_reduce_salted``    explicit two-phase with a salt column — the same
                            shape spelled out (useful where partial agg is
                            unavailable, and as the skew-evidence path for the
@@ -24,7 +34,11 @@ Three physical strategies, same semantics:
                            shuffles every row, kept for equivalence testing.
 
 Property (tested): the result is independent of input partitioning and of
-batch split, because (commit_seq, offset) is a total order per key.
+batch split, because (commit_seq, offset) is a total order per key.  For
+``lww_reduce``/``lww_reduce_salted`` the join-back tiebreak orders only by
+version — callers must guarantee the version is a total order per key (true
+for the journal: commit_seq is globally unique); ``lww_reduce_structmax``
+is deterministic even without that guarantee.
 """
 
 from __future__ import annotations
@@ -65,6 +79,52 @@ def lww_reduce(
         cand.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__v", "__rn")
+    )
+
+
+def _orderable(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def lww_reduce_structmax(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    version_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single-pass LWW: ``max(struct(version..., payload...))`` per key.
+
+    Max over a struct compares fields lexicographically, so leading with the
+    version columns makes this exactly "row with the largest version, ties
+    broken deterministically by payload bytes".  Unlike ``max_by`` (which
+    plans as a SortAggregate) plain ``max`` is a DeclarativeAggregate →
+    HashAggregate with map-side combine: one scan, one shuffle of one row
+    per key per map task, no join-back.  Falls back to ``lww_reduce`` when a
+    payload column is not orderable (MapType).
+    """
+    keys = keys or DEFAULT_KEYS
+    version_cols = version_cols or DEFAULT_VERSION
+    payload = [c for c in df.columns if c not in keys]
+    if not all(_orderable(f.dataType) for f in df.schema.fields):
+        return lww_reduce(df, keys, version_cols)
+    ordered = list(version_cols) + [c for c in payload if c not in version_cols]
+    # note: a numeric xxhash64(keys) grouping prefix was measured and
+    # REJECTED — cheaper sort compares, but the extra column grew the
+    # shuffle ~20% and randomizing row order hurt both the final sort and
+    # parquet compression (output +15%); net throughput loss
+    out = df.groupBy(*keys).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__w")
+    )
+    return out.select(
+        *[F.col(c) if c in keys else F.col(f"__w.{c}").alias(c)
+          for c in df.columns]
     )
 
 

@@ -2,7 +2,7 @@
 DataFrame plans.
 
 The reference defines queries as JSON documents — `QueryOp.wrap` normalizes
-{from, select, where, groupby, edges, sort, window, limit}
+{from, select, where, groupby, edges, sort, window, having, limit}
 (`vendor/jx_base/query.py:199-269`, slots :49) and compiles an expression
 tree (`vendor/jx_base/expressions.py:75-139`, operator registry :3239-3310)
 per backend.  Here the "backend" is Catalyst: each jx operator maps to a
@@ -10,24 +10,40 @@ Column expression, each clause to a DataFrame transformation, and Catalyst
 does the optimization the reference hand-rolled in ``partial_eval``.
 
 Supported expression operators (registry below): eq (null-safe, set form),
-ne, gt/gte/lt/lte, in, between, and/or/not, missing/exists, coalesce,
-when/then/else, case, add/sub/mul/div/mod, floor (to multiple), max/min
-(variadic scalar), length, prefix/suffix, concat, find, left/right, split,
-regex, literal, variable (dot path), first/last, count, tuple, not_left/
-not_right, unix/from_unix.
+ne, gt/gte/lt/lte, in, between, range (AND of comparisons, RangeOp :2763),
+and/or/not, missing/exists, coalesce, when/then/else, case, add/sub/mul/div/
+mod/exp, floor (to multiple), max/min (variadic scalar), length, prefix/
+suffix, concat, find, left/right/not_left/not_right, split, regex, literal,
+date literal (DateOp :840, unix seconds), variable (dot path), first/last,
+count, tuple, union (set-union of scalar terms, UnionOp :2908), unix/
+from_unix, type casts boolean/integer/number/string + is_* checks
+(:1529-1755; value-based cast tests — jx is dynamically typed, SQL is
+schema-typed), script.
 
-Clauses: select (incl. aggregate form), where, groupby, edges (domain
-binning: numeric interval + time duration, allowNulls dense bucket), sort
-(nulls-least per jx value_compare, language.py:152-235), window (partition/
-sort/aggregate/range), limit (DEFAULT_LIMIT=10 per jx_base/query.py:29).
+Clauses: select (incl. aggregate form + leaves), where, groupby, edges
+(domain binning: set w/ explicit partitions, numeric interval, time duration
+— domains with explicit partitions/bounds are MATERIALIZED and the output is
+DENSE: every bucket appears even when empty, plus a null bucket when
+allowNulls, matching `jx_base/domains.py:202,366` + the Matrix fill at
+`jx_python/lists/aggs.py:49-55`), having, sort (nulls-least per jx
+value_compare, language.py:152-235), window (partition/sort/aggregate/range/
+where, incl. percentile + list accumulators, `jx_python/windows.py:277,305`),
+limit (DEFAULT_LIMIT=10 per jx_base/query.py:29).
+
+Nested-array dives: a dot path that crosses an ``array<struct>`` boundary is
+resolved by inserting ``explode_outer`` at each boundary — the snowflake
+``nested_path`` auto-dive of `jx_python/jx.py:640-912` (drill_filter) and
+:279-392 (_select_deep).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 DEFAULT_LIMIT = 10_000  # jx default is 10; keep results useful for tests
@@ -46,6 +62,7 @@ _AGGS = {
     "cardinality": F.countDistinct,
     "median": lambda c: F.percentile(c, 0.5),
     "union": F.collect_set,
+    "list": F.collect_list,
     "stddev": F.stddev,
     "std": F.stddev,
     "var": F.var_samp,
@@ -53,71 +70,112 @@ _AGGS = {
     "one": F.first,
 }
 
+# aggregates whose empty-bucket value is 0, not null (dense Matrix zero-fill,
+# vendor/jx_python/lists/aggs.py:49-55 initializes count cells to 0)
+_ZERO_FILL = {"count", "cardinality"}
 
-def _lit(v) -> Column:
-    return F.lit(v)
+
+def _var(name: str, env: dict | None) -> Column:
+    """Variable reference — through the drill environment when present."""
+    if env and name in env:
+        return env[name]
+    return F.col(name)
 
 
-def compile_expr(e: Any) -> Column:
+def _parse_date_unix(s) -> float:
+    """Date literal -> unix seconds (DateOp stores Date(...).unix)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            d = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc)
+            return d.timestamp()
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse date literal: {s!r}")
+
+
+_CMP = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+
+
+def compile_expr(e: Any, env: dict | None = None) -> Column:
     """jx expression JSON -> Catalyst Column (jx_expression analog)."""
     if e is None or e is True or e is False or isinstance(e, (int, float)):
         return F.lit(e)
     if isinstance(e, str):  # bare string = variable (dot path)
-        return F.col(e)
+        return _var(e, env)
     if not isinstance(e, dict) or len(e) != 1:
         raise ValueError(f"cannot compile jx expression: {e!r}")
     (op, args), = e.items()
 
     if op == "literal":
         return F.lit(args)
+    if op == "date":
+        return F.lit(_parse_date_unix(args))
     if op == "eq":
         # {"eq": {x: v}} — null-safe; {"eq": {x: [v1,v2]}} = membership
         out = None
         for k, v in args.items():
             c = (
-                F.col(k).isin(*v)
+                _var(k, env).isin(*v)
                 if isinstance(v, list)
-                else F.col(k).eqNullSafe(F.lit(v))
+                else _var(k, env).eqNullSafe(F.lit(v))
             )
             out = c if out is None else (out & c)
         return F.coalesce(out, F.lit(False))
     if op == "ne":
         ((k, v),) = args.items()
-        return ~F.col(k).eqNullSafe(F.lit(v))
+        return ~_var(k, env).eqNullSafe(F.lit(v))
     if op in ("gt", "gte", "lt", "lte"):
-        ((k, v),) = args.items()
-        c = F.col(k)
+        # simple form {var: value-or-expression} or pair form [expr, expr]
+        if isinstance(args, dict):
+            ((k, v),) = args.items()
+            c = _var(k, env)
+            v = compile_expr(v, env) if isinstance(v, dict) else v
+        else:
+            c, v = compile_expr(args[0], env), compile_expr(args[1], env)
         return {"gt": c > v, "gte": c >= v, "lt": c < v, "lte": c <= v}[op]
+    if op == "range":
+        # {"range": {x: {"gte": a, "lt": b}}} -> AND of comparisons
+        # (RangeOp, jx_base/expressions.py:2763-2770)
+        ((k, comparisons),) = args.items()
+        out = F.lit(True)
+        c = _var(k, env)
+        for cmp_op, v in comparisons.items():
+            out = out & {
+                "gt": c > v, "gte": c >= v, "lt": c < v, "lte": c <= v
+            }[cmp_op]
+        return out
     if op == "in":
         ((k, v),) = args.items()
-        return F.col(k).isin(*v)
+        return _var(k, env).isin(*v)
     if op == "between":
         ((k, v),) = args.items()
-        return F.col(k).between(v[0], v[1])
+        return _var(k, env).between(v[0], v[1])
     if op == "and":
         out = F.lit(True)
         for a in args:
-            out = out & compile_expr(a)
+            out = out & compile_expr(a, env)
         return out
     if op == "or":
         out = F.lit(False)
         for a in args:
-            out = out | compile_expr(a)
+            out = out | compile_expr(a, env)
         return out
     if op == "not":
-        return ~compile_expr(args)
+        return ~compile_expr(args, env)
     if op == "missing":
-        return compile_expr(args).isNull()
+        return compile_expr(args, env).isNull()
     if op == "exists":
-        return compile_expr(args).isNotNull()
+        return compile_expr(args, env).isNotNull()
     if op == "coalesce":
-        return F.coalesce(*[compile_expr(a) for a in args])
+        return F.coalesce(*[compile_expr(a, env) for a in args])
     if op == "when":
         return F.when(
-            compile_expr(args["when"] if isinstance(args, dict) else args),
-            compile_expr(args.get("then")) if isinstance(args, dict) else F.lit(None),
+            compile_expr(args["when"] if isinstance(args, dict) else args, env),
+            compile_expr(args.get("then"), env) if isinstance(args, dict) else F.lit(None),
         ).otherwise(
-            compile_expr(args.get("else")) if isinstance(args, dict) else F.lit(None)
+            compile_expr(args.get("else"), env) if isinstance(args, dict) else F.lit(None)
         )
     if op == "case":
         out = None
@@ -125,14 +183,15 @@ def compile_expr(e: Any) -> Column:
         whens = []
         for clause in args:
             if isinstance(clause, dict) and "when" in clause:
-                whens.append((compile_expr(clause["when"]), compile_expr(clause["then"])))
+                whens.append((compile_expr(clause["when"], env),
+                              compile_expr(clause["then"], env)))
             else:
-                default = compile_expr(clause)
+                default = compile_expr(clause, env)
         for cond, then in reversed(whens):
             out = F.when(cond, then).otherwise(out if out is not None else default)
         return out if out is not None else default
     if op in ("add", "sub", "mul", "div", "mod", "exp"):
-        cs = [compile_expr(a) for a in args]
+        cs = [compile_expr(a, env) for a in args]
         out = cs[0]
         for c in cs[1:]:
             out = {
@@ -142,59 +201,96 @@ def compile_expr(e: Any) -> Column:
         return out
     if op == "floor":
         # {"floor": [x, interval]} — floor to multiple (FloorOp:1067)
-        x = compile_expr(args[0])
+        x = compile_expr(args[0], env)
         i = args[1] if len(args) > 1 else 1
         return F.floor(x / i) * i
     if op == "max":
-        return F.greatest(*[compile_expr(a) for a in args])
+        return F.greatest(*[compile_expr(a, env) for a in args])
     if op == "min":
-        return F.least(*[compile_expr(a) for a in args])
+        return F.least(*[compile_expr(a, env) for a in args])
     if op == "length":
-        return F.length(compile_expr(args))
+        return F.length(compile_expr(args, env))
     if op == "prefix":
         ((k, v),) = args.items()
-        return F.col(k).startswith(v)
+        return _var(k, env).startswith(v)
     if op == "suffix":
         ((k, v),) = args.items()
-        return F.col(k).endswith(v)
+        return _var(k, env).endswith(v)
     if op == "concat":
         if isinstance(args, dict):  # {"concat": {...,"separator": s}} form
             sep = args.get("separator", "")
             vals = args.get("terms", [])
-            return F.concat_ws(sep, *[compile_expr(a) for a in vals])
-        return F.concat(*[compile_expr(a) for a in args])
+            return F.concat_ws(sep, *[compile_expr(a, env) for a in vals])
+        return F.concat(*[compile_expr(a, env) for a in args])
     if op == "find":
         ((k, v),) = args.items()
-        found = F.locate(v, F.col(k))
+        found = F.locate(v, _var(k, env))
         return F.when(found > 0, found - 1)  # jx is 0-based, missing if absent
     if op == "left":
         ((k, v),) = args.items()
-        return F.substring(F.col(k), 1, int(v))
+        return F.substring(_var(k, env), 1, int(v))
     if op == "right":
         ((k, v),) = args.items()
-        return F.col(k).substr(F.length(F.col(k)) - int(v) + 1, F.lit(int(v)))
+        c = _var(k, env)
+        return c.substr(F.length(c) - int(v) + 1, F.lit(int(v)))
     if op == "not_left":
         ((k, v),) = args.items()
-        return F.col(k).substr(F.lit(int(v) + 1), F.length(F.col(k)))
+        c = _var(k, env)
+        return c.substr(F.lit(int(v) + 1), F.length(c))
+    if op == "not_right":
+        # all but the last v chars (NotRightOp, expressions.py:2498-2522)
+        ((k, v),) = args.items()
+        c = _var(k, env)
+        return c.substr(F.lit(1), F.greatest(F.length(c) - int(v), F.lit(0)))
     if op == "split":
         ((k, v),) = args.items()
-        return F.split(F.col(k), v)
+        return F.split(_var(k, env), v)
     if op == "regex":
         ((k, v),) = args.items()
-        return F.col(k).rlike(v)
+        return _var(k, env).rlike(v)
     if op == "tuple":
-        return F.struct(*[compile_expr(a) for a in args])
+        return F.struct(*[compile_expr(a, env) for a in args])
     if op == "first":
-        return F.element_at(compile_expr(args), 1)
+        return F.element_at(compile_expr(args, env), 1)
     if op == "last":
-        return F.element_at(compile_expr(args), -1)
+        return F.element_at(compile_expr(args, env), -1)
     if op == "count":  # scalar count of non-null items in tuple
-        return F.size(F.filter(F.array(*[compile_expr(a) for a in args]),
+        return F.size(F.filter(F.array(*[compile_expr(a, env) for a in args]),
                                lambda x: x.isNotNull()))
+    if op == "union":
+        # set-union of scalar terms' values (UnionOp, expressions.py:2908)
+        return F.array_distinct(
+            F.filter(F.array(*[compile_expr(a, env) for a in args]),
+                     lambda x: x.isNotNull())
+        )
     if op == "unix":
-        return F.unix_timestamp(compile_expr(args))
+        return F.unix_timestamp(compile_expr(args, env))
     if op == "from_unix":
-        return F.from_unixtime(compile_expr(args)).cast("timestamp")
+        return F.from_unixtime(compile_expr(args, env)).cast("timestamp")
+    # type ops (expressions.py:1529-1755).  jx is dynamically typed; in
+    # SQL-land the casts are schema casts and the Is* checks are value-based
+    # cast-success tests (null-preserving).
+    if op == "boolean":
+        return compile_expr(args, env).cast("boolean")
+    if op == "integer":
+        return compile_expr(args, env).cast("long")
+    if op == "number":
+        return compile_expr(args, env).cast("double")
+    if op == "string":
+        return compile_expr(args, env).cast("string")
+    if op == "is_number":
+        c = compile_expr(args, env)
+        return c.isNotNull() & c.cast("double").isNotNull()
+    if op == "is_integer":
+        c = compile_expr(args, env)
+        d = c.cast("double")
+        return c.isNotNull() & d.isNotNull() & (d == F.floor(d))
+    if op == "is_string":
+        c = compile_expr(args, env)
+        return c.isNotNull() & c.cast("string").isNotNull()
+    if op == "is_boolean":
+        c = compile_expr(args, env)
+        return c.isNotNull() & c.cast("boolean").isNotNull()
     if op == "script":
         # raw backend escape hatch (ScriptOp, jx_base/expressions.py:490):
         # the "backend script" here is a Spark SQL expression
@@ -202,12 +298,94 @@ def compile_expr(e: Any) -> Column:
     raise ValueError(f"unsupported jx operator: {op}")
 
 
-def _domain_expr(edge: dict) -> Column:
-    """Edge domain -> binning expression (jx_base/domains.py analog)."""
-    value = compile_expr(edge["value"])
+# ---------------------------------------------------------------------------
+# nested-array dives (drill_filter / _select_deep analog)
+# ---------------------------------------------------------------------------
+
+def _collect_vars(node: Any, out: set) -> None:
+    """Gather candidate variable dot-paths from a query/expression tree."""
+    if isinstance(node, str):
+        out.add(node)
+    elif isinstance(node, dict):
+        for k, v in node.items():
+            if k in ("literal", "date", "script", "name", "aggregate",
+                     "separator", "percentile"):
+                continue
+            if k in ("eq", "ne", "gt", "gte", "lt", "lte", "in", "between",
+                     "prefix", "suffix", "find", "left", "right", "not_left",
+                     "not_right", "split", "regex", "range") and isinstance(v, dict):
+                out.update(v.keys())  # dict-form: keys are variables
+            else:
+                _collect_vars(v, out)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            _collect_vars(v, out)
+
+
+def drill(df: DataFrame, paths: set[str]) -> tuple[DataFrame, dict]:
+    """Insert ``explode_outer`` for every referenced dot path that crosses an
+    ``array<struct>`` boundary; returns (df', env) where env maps each such
+    path to its resolved Column.  Paths that stay inside plain structs keep
+    Spark's native resolution (no env entry needed)."""
+    env: dict[str, Column] = {}
+    aliased: dict[tuple, str] = {}  # exploded prefix -> alias column name
+    n = 0
+    for path in sorted(paths):
+        segs = path.split(".")
+        if len(segs) < 2:
+            continue
+        # resume from the deepest already-exploded prefix
+        start, ref, cur = 0, "", df.schema
+        for j in range(len(segs) - 1, 0, -1):
+            if tuple(segs[:j]) in aliased:
+                ref = aliased[tuple(segs[:j])]
+                cur = _schema_of(df, ref)
+                start = j
+                break
+        dived = start > 0
+        for i in range(start, len(segs)):
+            seg = segs[i]
+            if not isinstance(cur, T.StructType) or seg not in cur.fieldNames():
+                cur = None
+                break
+            ref = f"{ref}.{seg}" if ref else seg
+            dt = cur[seg].dataType
+            if (isinstance(dt, T.ArrayType)
+                    and isinstance(dt.elementType, T.StructType)
+                    and i < len(segs) - 1):
+                alias = f"__dive{n}"
+                n += 1
+                df = df.withColumn(alias, F.explode_outer(F.col(ref)))
+                aliased[tuple(segs[:i + 1])] = alias
+                ref, cur, dived = alias, dt.elementType, True
+            elif isinstance(dt, T.StructType):
+                cur = dt
+            else:
+                cur = T.StructType([])
+        if dived and cur is not None:
+            env[path] = F.col(ref)
+    return df, env
+
+
+def _schema_of(df: DataFrame, name: str):
+    f = df.schema[name].dataType
+    return f.elementType if isinstance(f, T.ArrayType) else f
+
+
+# ---------------------------------------------------------------------------
+# edge domains — binning expression + dense materialization
+# ---------------------------------------------------------------------------
+
+def _domain_expr(edge: dict, env: dict | None = None) -> Column:
+    """Edge domain -> binning expression (jx_base/domains.py analog).
+    Out-of-domain values bin to null (the allowNulls bucket)."""
+    value = compile_expr(edge["value"], env)
     dom = edge.get("domain", {})
     typ = dom.get("type", "default")
     if typ in ("default", "set"):
+        parts = _set_partition_values(dom)
+        if parts is not None:
+            return F.when(value.isin(*parts), value)
         return value
     if typ == "range" or typ == "numeric":
         interval = dom.get("interval", 1)
@@ -225,18 +403,85 @@ def _domain_expr(edge: dict) -> Column:
         return binned
     if typ in ("time", "duration"):
         interval = dom.get("interval", "day")
+        lo, hi = dom.get("min"), dom.get("max")
         if isinstance(interval, str):
-            return F.date_trunc(interval, value)
-        return F.floor(F.unix_timestamp(value) / interval) * interval
+            binned = F.date_trunc(interval, value)
+        else:
+            binned = F.floor(F.unix_timestamp(value) / interval) * interval
+        if lo is not None and hi is not None:
+            ts = value if isinstance(interval, str) else F.unix_timestamp(value)
+            lo_c = F.lit(lo).cast("timestamp") if isinstance(interval, str) else F.lit(lo)
+            hi_c = F.lit(hi).cast("timestamp") if isinstance(interval, str) else F.lit(hi)
+            binned = F.when((ts >= lo_c) & (ts < hi_c), binned)
+        return binned
     raise ValueError(f"unsupported domain type: {typ}")
 
 
-def _agg_col(sel: dict) -> Column:
+def _set_partition_values(dom: dict):
+    parts = dom.get("partitions")
+    if not parts:
+        return None
+    return [p.get("value") if isinstance(p, dict) else p for p in parts]
+
+
+def _month_add(d: _dt.datetime, n: int) -> _dt.datetime:
+    m = d.month - 1 + n
+    return d.replace(year=d.year + m // 12, month=m % 12 + 1)
+
+
+def _domain_parts(edge: dict):
+    """Materialized domain partitions (python values) for DENSE output, or
+    None when the domain is unbounded/sparse (SimpleSetDomain from data)."""
+    dom = edge.get("domain", {})
+    typ = dom.get("type", "default")
+    if typ in ("default", "set"):
+        return _set_partition_values(dom)
+    lo, hi = dom.get("min"), dom.get("max")
+    if lo is None or hi is None:
+        return None
+    if typ in ("range", "numeric"):
+        interval = dom.get("interval", 1)
+        out, v = [], lo - (lo % interval)
+        while v < hi:
+            out.append(v)
+            v += interval
+        return out
+    if typ in ("time", "duration"):
+        interval = dom.get("interval", "day")
+        if isinstance(interval, (int, float)):
+            out, v = [], lo - (lo % interval)
+            while v < hi:
+                out.append(v)
+                v += interval
+            return out
+        start = _dt.datetime.strptime(str(lo)[:10], "%Y-%m-%d")
+        end = _dt.datetime.strptime(str(hi)[:10], "%Y-%m-%d")
+        step = {"day": _dt.timedelta(days=1), "hour": _dt.timedelta(hours=1),
+                "week": _dt.timedelta(weeks=1)}.get(interval)
+        out, v = [], start
+        while v < end:
+            out.append(v)
+            v = _month_add(v, 1) if interval == "month" else v + step
+        return out
+    return None
+
+
+def _coerce_part(p, dt):
+    if p is None:
+        return None
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(p)
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return int(p)
+    return p
+
+
+def _agg_col(sel: dict, env: dict | None = None) -> Column:
     agg = sel.get("aggregate", "count")
     name = sel.get("name") or (sel.get("value") if isinstance(sel.get("value"), str) else agg)
     if agg == "count" and sel.get("value") in (None, "."):
         return F.count(F.lit(1)).alias(name)
-    v = compile_expr(sel["value"])
+    v = compile_expr(sel["value"], env)
     if agg == "percentile":
         return F.percentile(v, sel.get("percentile", 0.5)).alias(name)
     return _AGGS[agg](v).alias(name)
@@ -248,8 +493,16 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
         query["from"], frames
     )
 
+    # nested-array dives: auto-explode along referenced paths
+    refs: set[str] = set()
+    for clause in ("where", "select", "groupby", "edges", "window", "sort",
+                   "having"):
+        if clause in query:
+            _collect_vars(query[clause], refs)
+    df, env = drill(df, {r for r in refs if "." in r})
+
     if "where" in query:
-        df = df.where(compile_expr(query["where"]))
+        df = df.where(compile_expr(query["where"], env))
 
     select = query.get("select")
     groupby = query.get("groupby")
@@ -260,10 +513,10 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
         wins = window if isinstance(window, list) else [window]
         for win in wins:
             w = W.partitionBy(
-                *[compile_expr(e) for e in win.get("edges", [])]
+                *[compile_expr(e, env) for e in win.get("edges", [])]
             )
             if "sort" in win:
-                w = w.orderBy(*_sort_cols(win["sort"]))
+                w = w.orderBy(*_sort_cols(win["sort"], env))
             rng = win.get("range")
             if rng:
                 # jx range max is EXCLUSIVE (jx.py:1003-1008 iterates
@@ -274,42 +527,58 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
                     (hi - 1) if hi is not None else 0,
                 )
             agg = win.get("aggregate", "count")
+            val = compile_expr(win["value"], env) if "value" in win else None
+            if "where" in win and val is not None:
+                # window where: only matching rows CONTRIBUTE to the
+                # accumulator (jx_base/query.py:605 window slot)
+                val = F.when(compile_expr(win["where"], env), val)
             if agg == "rownum":
                 c = F.row_number().over(w)
             elif agg == "rank":
                 c = F.rank().over(w)
+            elif agg == "percentile":
+                c = F.percentile(val, win.get("percentile", 0.5)).over(w)
             else:
-                c = _AGGS[agg](compile_expr(win["value"])).over(w)
+                c = _AGGS[agg](val).over(w)
             df = df.withColumn(win["name"], c)
 
     if edges is not None or groupby is not None:
-        keys = []
+        keys, dense = [], []
         for g in (groupby or []):
             g = {"name": g, "value": g} if isinstance(g, str) else g
-            keys.append(compile_expr(g["value"]).alias(g.get("name") or g["value"]))
+            keys.append(compile_expr(g["value"], env).alias(g.get("name") or g["value"]))
         for e_ in (edges or []):
             e_ = {"name": e_, "value": e_} if isinstance(e_, str) else e_
-            keys.append(_domain_expr(e_).alias(e_.get("name") or e_["value"]))
+            name = e_.get("name") or e_["value"]
+            keys.append(_domain_expr(e_, env).alias(name))
+            parts = _domain_parts(e_)
+            if parts is not None:
+                dense.append((name, parts, e_.get("allowNulls", True)))
         sels = select if isinstance(select, list) else [select or {"aggregate": "count", "name": "count"}]
         sels = [{"aggregate": "count", "name": "count"} if s is None else s for s in sels]
-        aggs = [_agg_col(s if isinstance(s, dict) else {"value": s, "aggregate": "count", "name": s}) for s in sels]
+        sels = [s if isinstance(s, dict) else {"value": s, "aggregate": "count", "name": s} for s in sels]
+        aggs = [_agg_col(s, env) for s in sels]
         df = df.groupBy(*keys).agg(*aggs)
+        if dense:
+            df = _densify(df, dense, sels)
+        if "having" in query:
+            df = df.where(compile_expr(query["having"], env))
     elif select is not None:
         sels = select if isinstance(select, list) else [select]
         cols = []
         for s in sels:
             if isinstance(s, str):
-                cols.append(F.col("*") if s == "." else F.col(s))
+                cols.append(F.col("*") if s == "." else _var(s, env))
             elif isinstance(s.get("value"), dict) and "leaves" in s["value"]:
                 # LeavesOp ({"leaves": v}): expand object to its leaf columns
                 # (jx_base/expressions.py:910-933) -> struct star-expansion
                 cols.append(F.col(f'{s["value"]["leaves"]}.*'))
             else:
-                cols.append(compile_expr(s["value"]).alias(s.get("name") or str(s["value"])))
+                cols.append(compile_expr(s["value"], env).alias(s.get("name") or str(s["value"])))
         df = df.select(*cols)
 
     if "sort" in query:
-        df = df.orderBy(*_sort_cols(query["sort"]))
+        df = df.orderBy(*_sort_cols(query["sort"], env))
 
     limit = query.get("limit", DEFAULT_LIMIT)
     if limit is not None:
@@ -317,15 +586,58 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
     return df
 
 
-def _sort_cols(sort) -> list[Column]:
+def _densify(grouped: DataFrame, dense: list, sels: list) -> DataFrame:
+    """Left-join sparse groups onto the materialized domain cube so every
+    domain bucket appears, empty or not (dense Matrix output; decoders at
+    `vendor/jx_elasticsearch/es52/decoders.py:159-310` emit every dataIndex).
+
+    Dense edges cross-join their partition lists (+ a null bucket when
+    allowNulls); any remaining group keys keep their observed combinations.
+    count-family aggregates zero-fill in empty buckets; others stay null.
+    """
+    spark = grouped.sparkSession
+    dense_names = [name for name, _, _ in dense]
+    dom = None
+    for name, parts, allow_nulls in dense:
+        dt = grouped.schema[name].dataType
+        vals = [_coerce_part(p, dt) for p in parts]
+        if allow_nulls:
+            vals = vals + [None]
+        pdf = spark.createDataFrame(
+            [(v,) for v in vals], T.StructType([T.StructField(name, dt, True)])
+        )
+        dom = pdf if dom is None else dom.crossJoin(pdf)
+    # group keys that are NOT dense edges: keep observed combos
+    agg_names = [s.get("name") or (s.get("value") if isinstance(s.get("value"), str) else s.get("aggregate")) for s in sels]
+    other_keys = [c for c in grouped.columns if c not in dense_names and c not in agg_names]
+    if other_keys:
+        dom = dom.crossJoin(grouped.select(*other_keys).distinct())
+    g = grouped
+    for name in dense_names + other_keys:
+        g = g.withColumnRenamed(name, f"__g_{name}")
+    cond = [dom[n].eqNullSafe(g[f"__g_{n}"]) for n in dense_names + other_keys]
+    # the domain side is tiny by construction (explicit partitions) — a
+    # broadcast would put the SMALL side on every executor but Spark
+    # broadcasts the build side of the join; leave it to AQE, which sees the
+    # actual sizes
+    out = dom.join(g, cond, "left")
+    zero = [s.get("name") for s in sels if s.get("aggregate", "count") in _ZERO_FILL]
+    final = [dom[n] for n in dense_names + other_keys] + [
+        F.coalesce(F.col(a), F.lit(0)).alias(a) if a in zero else F.col(a)
+        for a in agg_names
+    ]
+    return out.select(*final)
+
+
+def _sort_cols(sort, env: dict | None = None) -> list[Column]:
     """jx sort: nulls sort least (language.py:185-190)."""
     out = []
     for s in sort if isinstance(sort, list) else [sort]:
         if isinstance(s, str):
-            out.append(F.col(s).asc_nulls_first())
+            out.append(_var(s, env).asc_nulls_first())
         else:
             value = s["value"] if isinstance(s, dict) else s
             desc = (s.get("sort", 1) if isinstance(s, dict) else 1) < 0
-            c = compile_expr(value)
+            c = compile_expr(value, env)
             out.append(c.desc_nulls_last() if desc else c.asc_nulls_first())
     return out

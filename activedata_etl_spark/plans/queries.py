@@ -576,6 +576,184 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
 """
 
 
+def q24_window_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile accumulator OVER a window through the jx window clause
+    (vendor/jx_python/windows.py:277 Percentile)."""
+    from activedata_etl_spark.plans import jx
+
+    e = _t(spark, sf, "events")
+    return jx.run(
+        {
+            "from": "t",
+            "where": {"lt": {"user_id": 30}},
+            "window": {"name": "p50", "edges": ["user_id"],
+                       "aggregate": "percentile", "percentile": 0.5,
+                       "value": "value"},
+            "select": ["user_id", "event_id",
+                       {"name": "p50r", "value": {"script": "round(p50, 6)"}}],
+            "sort": ["user_id", "event_id"],
+            "limit": 10_000_000,
+        },
+        {"t": e},
+    )
+
+
+ORACLE_Q24 = """
+SELECT user_id, event_id,
+       round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id), 6) AS p50r
+FROM events WHERE user_id < 30 ORDER BY user_id, event_id
+"""
+
+
+def q25_edges_dense_set(spark: SparkSession, sf: str) -> DataFrame:
+    """SetDomain with explicit partitions -> DENSE output: the 'refund'
+    bucket is empty (count 0) and still emitted; allowNulls adds the null
+    bucket holding out-of-domain rows ('signup' is deliberately not a
+    partition).  Matches vendor/jx_base/domains.py:366 SetDomain + the dense
+    Matrix fill (vendor/jx_python/lists/aggs.py:49-55)."""
+    from activedata_etl_spark.plans import jx
+
+    e = _t(spark, sf, "events")
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "event_type", "value": "event_type",
+                       "domain": {"type": "set",
+                                  "partitions": ["click", "error", "purchase",
+                                                 "refund", "view"]}}],
+            "select": [{"name": "n", "aggregate": "count"},
+                       {"name": "tv", "value": "value", "aggregate": "sum"}],
+        },
+        {"t": e},
+    )
+    return out.select(
+        "event_type", "n", F.round("tv", 4).alias("total_value")
+    ).orderBy(F.col("event_type").asc_nulls_first())
+
+
+ORACLE_Q25 = """
+WITH parts(event_type) AS (
+  VALUES ('click'),('error'),('purchase'),('refund'),('view'),(NULL)
+), g AS (
+  SELECT CASE WHEN event_type IN ('click','error','purchase','refund','view')
+              THEN event_type END AS et,
+         count(*) AS n, sum(value) AS tv
+  FROM events GROUP BY 1
+)
+SELECT p.event_type, coalesce(g.n, 0) AS n, round(g.tv, 4) AS total_value
+FROM parts p LEFT JOIN g ON g.et IS NOT DISTINCT FROM p.event_type
+ORDER BY p.event_type NULLS FIRST
+"""
+
+
+def q26_nested_dive(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-array dive: a dot path through array<struct> auto-explodes
+    (drill_filter, vendor/jx_python/jx.py:640-912; _select_deep :279-392).
+    The nested frame is built by collect_list so the dive's output must
+    reconstruct exactly the flat rows it came from."""
+    from activedata_etl_spark.plans import jx
+
+    li = _t(spark, sf, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_returnflag")
+        ).alias("items")
+    )
+    return jx.run(
+        {
+            "from": "t",
+            "where": {"gte": {"items.l_quantity": 48}},
+            "select": [{"name": "orderkey", "value": "l_orderkey"},
+                       {"name": "linenumber", "value": "items.l_linenumber"},
+                       {"name": "qty", "value": "items.l_quantity"},
+                       {"name": "flag", "value": "items.l_returnflag"}],
+            "sort": ["orderkey", "linenumber"],
+            "limit": 10_000_000,
+        },
+        {"t": nested},
+    )
+
+
+ORACLE_Q26 = """
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+       l_quantity AS qty, l_returnflag AS flag
+FROM lineitem WHERE l_quantity >= 48 ORDER BY orderkey, linenumber
+"""
+
+
+def q27_count_values(spark: SparkSession, sf: str) -> DataFrame:
+    """count_values: per-value histogram of a MULTIVALUE field — explode the
+    value array, count per value (vendor/jx_elasticsearch/es52/aggs.py:285-308
+    counts every value occurrence, not distinct docs)."""
+    d = _t(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]{5,}"), 0)
+    return (
+        d.select(F.explode(toks).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("value")
+    )
+
+
+ORACLE_Q27 = """
+SELECT value, count(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]{5,}')) AS value
+  FROM documents)
+GROUP BY value ORDER BY value
+"""
+
+
+def q28_edges_dense_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense TimeDomain edge: months Jan..Mar 2024 materialized; the events
+    table only spans January, so Feb and Mar are EMPTY buckets that must
+    still appear (decoders, vendor/jx_elasticsearch/es52/decoders.py:159)."""
+    from activedata_etl_spark.plans import jx
+
+    e = _t(spark, sf, "events")
+    return jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "month", "value": "ts",
+                       "domain": {"type": "time", "interval": "month",
+                                  "min": "2024-01-01", "max": "2024-04-01"}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "month",
+        },
+        {"t": e},
+    )
+
+
+ORACLE_Q28 = """
+WITH parts(month) AS (
+  VALUES (TIMESTAMP '2024-01-01'), (TIMESTAMP '2024-02-01'),
+         (TIMESTAMP '2024-03-01'), (NULL)
+), g AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-04-01'
+              THEN date_trunc('month', ts) END AS m,
+         count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT p.month, coalesce(g.n, 0) AS n
+FROM parts p LEFT JOIN g ON g.m IS NOT DISTINCT FROM p.month
+ORDER BY p.month NULLS FIRST
+"""
+
+
+# typed_json_props: the props column is flat {"k": <int>} JSON, so the sigil
+# encoding (vendor/mo_json/typed_encoder.py:132-362) is reconstructible in
+# ANSI SQL — closing the round-1 no_oracle gap for this query
+ORACLE_TYPED_JSON = """
+SELECT event_id,
+       CASE WHEN props IS NULL OR props = '' THEN NULL
+            WHEN json_extract_string(props, '$.k') IS NULL THEN '{"~e~":1}'
+            ELSE '{"k":{"~n~":' ||
+                 CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+                 || '},"~e~":1}'
+       END AS typed
+FROM events WHERE event_id < 1000 ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -834,9 +1012,9 @@ FROM documents ORDER BY media_id
 
 
 def typed_json_props(spark: SparkSession, sf: str) -> DataFrame:
-    """Typed-JSON normalization of the dynamic props column (Arrow UDF;
-    Python-defined semantics -> rows-only driver check, golden-tested in
-    pytest per typed_encoder.py)."""
+    """Typed-JSON normalization of the dynamic props column (Arrow UDF,
+    typed_encoder.py semantics; oracle reconstructs the sigil encoding in
+    SQL since props is flat {"k": int} JSON)."""
     from activedata_etl_spark.functions.normalize import typed_encode_udf
 
     e = _t(spark, sf, "events")
@@ -875,6 +1053,11 @@ SPARK_QUERIES = {
     "q21_json_extract": q21_json_extract,
     "q22_rollup": q22_rollup,
     "q23_explode_tokens": q23_explode_tokens,
+    "q24_window_percentile": q24_window_percentile,
+    "q25_edges_dense_set": q25_edges_dense_set,
+    "q26_nested_dive": q26_nested_dive,
+    "q27_count_values": q27_count_values,
+    "q28_edges_dense_time": q28_edges_dense_time,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -914,6 +1097,11 @@ ORACLE_SQL = {
     "q21_json_extract": ORACLE_Q21,
     "q22_rollup": ORACLE_Q22,
     "q23_explode_tokens": ORACLE_Q23,
+    "q24_window_percentile": ORACLE_Q24,
+    "q25_edges_dense_set": ORACLE_Q25,
+    "q26_nested_dive": ORACLE_Q26,
+    "q27_count_values": ORACLE_Q27,
+    "q28_edges_dense_time": ORACLE_Q28,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
@@ -923,7 +1111,8 @@ ORACLE_SQL = {
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
-    # dedup_minhash_lsh / dedup_simhash / sim_ann_lsh / typed_json_props:
-    # hash-/Python-defined semantics, rows-only driver check (pytest covers
-    # their correctness against exact counterparts)
+    "typed_json_props": ORACLE_TYPED_JSON,
+    # dedup_minhash_lsh / dedup_simhash / sim_ann_lsh: hash-defined
+    # semantics, rows-only driver check (pytest verifies them against exact
+    # counterparts: subset + recall bounds)
 }

@@ -76,6 +76,7 @@ def get_spark(
         # winner set is modest (falls back to shuffle join at real scale)
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -80,6 +80,7 @@ def replay_journal(
     offset_range: tuple[int, int] | None = None,
     verbose: bool = False,
     lineage_level: str = "full",
+    lww_strategy: str = "structmax",
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -127,7 +128,7 @@ def replay_journal(
             table, normalize_keys(chunk), i, salted=salted,
             late_threshold_sec=late_threshold_sec,
             finalize_fn=finalize_records, persist=persist,
-            lineage_level=lineage_level,
+            lineage_level=lineage_level, lww_strategy=lww_strategy,
             precomputed_watermarks=(
                 {p: hi for p in partitions} if lineage_level == "summary" else None
             ),

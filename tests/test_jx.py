@@ -185,3 +185,170 @@ def test_range_domain_one_sided_bound(frames):
     # v=10 (below min) and v=None both bin to null; 20,30 -> 25 bin? no:
     # floor(20/25)*25=0, floor(30/25)*25=25, floor(50/25)*25=50
     assert got == [(None, 2), (0.0, 1), (25.0, 1), (50.0, 1)]
+
+
+def test_range_date_union_not_right_type_ops(frames):
+    """RangeOp (expressions.py:2763), DateOp (:840), UnionOp (:2908),
+    NotRightOp (:2498), type casts + Is* checks (:1529-1755)."""
+    out = jx.run(
+        {
+            "from": "t",
+            "where": {"range": {"i": {"gte": 2, "lt": 5}}},
+            "select": [
+                "i",
+                {"name": "nr", "value": {"not_right": {"g": 0}}},
+                {"name": "nr1", "value": {"not_right": {"g": 1}}},
+                {"name": "u", "value": {"union": ["g", "tag", {"literal": "z"}]}},
+                {"name": "num", "value": {"number": "i"}},
+                {"name": "is_n", "value": {"is_number": {"string": "i"}}},
+                {"name": "is_i", "value": {"is_integer": "v"}},
+            ],
+            "sort": "i",
+        },
+        frames,
+    )
+    rows = out.collect()
+    assert [r["i"] for r in rows] == [2, 3, 4]
+    assert [r["nr"] for r in rows] == ["y", "x", "y"]
+    assert [r["nr1"] for r in rows] == ["", "", ""]
+    assert rows[0]["u"] == ["y", "p", "z"]           # set-union, nulls dropped
+    assert rows[2]["u"] == ["y", "p", "z"]
+    assert rows[1]["u"] == ["x", "q", "z"]
+    assert all(isinstance(r["num"], float) for r in rows)
+    assert all(r["is_n"] for r in rows)               # "2" casts to number
+    assert rows[0]["is_i"] is True                    # 20.0 is integral
+    assert rows[2]["is_i"] is False                   # missing is not integer
+
+
+def test_date_literal_filter(spark):
+    df = spark.createDataFrame(
+        [(1, 1704067200.0), (2, 1706745600.0)], "id long, t double"
+    )  # 2024-01-01, 2024-02-01 as unix seconds
+    out = jx.run(
+        {"from": "x", "where": {"gte": {"t": {"date": "2024-02-01"}}},
+         "select": ["id"]},
+        {"x": df},
+    )
+    # DateOp literal compiles to unix seconds (expressions.py:840-855)
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_edges_dense_set_domain(frames):
+    """Explicit SetDomain partitions -> dense output incl. EMPTY buckets and
+    the allowNulls bucket (domains.py:366; Matrix fill aggs.py:49-55)."""
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "g", "value": "g",
+                       "domain": {"type": "set", "partitions": ["x", "y", "w"]}}],
+            "select": [{"name": "n", "aggregate": "count"},
+                       {"name": "sv", "value": "v", "aggregate": "sum"}],
+            "sort": "g",
+        },
+        frames,
+    )
+    got = [(r["g"], r["n"], r["sv"]) for r in out.collect()]
+    # null bucket = the z row (out of domain); w = empty bucket, count 0
+    assert got == [(None, 1, 50.0), ("w", 0, None), ("x", 2, 40.0), ("y", 2, 20.0)]
+
+    # allowNulls=False drops the null bucket
+    out2 = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "g", "value": "g", "allowNulls": False,
+                       "domain": {"type": "set", "partitions": ["x", "y", "w"]}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "g",
+        },
+        frames,
+    )
+    assert [(r["g"], r["n"]) for r in out2.collect()] == [("w", 0), ("x", 2), ("y", 2)]
+
+
+def test_edges_dense_range_domain(frames):
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "vbin", "value": "v",
+                       "domain": {"type": "range", "interval": 20,
+                                  "min": 0, "max": 80}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "vbin",
+        },
+        frames,
+    )
+    got = [(r["vbin"], r["n"]) for r in out.collect()]
+    # 10,20 -> bins 0,20; 30 -> 20; 50 -> 40; None -> null bucket; 60 empty
+    assert got == [(None, 1), (0.0, 1), (20.0, 2), (40.0, 1), (60.0, 0)]
+
+
+def test_having_clause(frames):
+    out = jx.run(
+        {
+            "from": "t",
+            "groupby": ["g"],
+            "select": [{"name": "n", "aggregate": "count"},
+                       {"name": "mx", "value": "i", "aggregate": "max"}],
+            "having": {"gte": {"n": 2}},
+            "sort": "g",
+        },
+        frames,
+    )
+    assert [(r["g"], r["n"]) for r in out.collect()] == [("x", 2), ("y", 2)]
+
+
+def test_window_list_and_where(frames):
+    """list accumulator over a sorted prefix window + window where clause
+    (windows.py:305 list; query.py:605 window where)."""
+    out = jx.run(
+        {
+            "from": "t",
+            "window": [
+                {"name": "seen", "edges": [], "sort": "i", "aggregate": "list",
+                 "value": "g", "range": {"max": 1}},
+                {"name": "big_sum", "edges": [], "sort": "i", "aggregate": "sum",
+                 "value": "i", "where": {"gte": {"i": 3}},
+                 "range": {"max": 1}},
+            ],
+            "select": ["i", "seen", "big_sum"],
+            "sort": "i",
+        },
+        frames,
+    )
+    rows = out.collect()
+    assert rows[0]["seen"] == ["x"] and rows[2]["seen"] == ["x", "y", "x"]
+    # only i >= 3 contribute: prefix sums 0,0,3,7,12 (null -> None for first)
+    assert [r["big_sum"] for r in rows] == [None, None, 3, 7, 12]
+
+
+def test_nested_array_dive(spark):
+    """Dot path through array<struct> auto-explodes (drill_filter analog,
+    vendor/jx_python/jx.py:640-912)."""
+    df = spark.createDataFrame(
+        [(1, [(10, "a"), (20, "b")]), (2, [(30, "c")]), (3, [])],
+        "id long, items array<struct<qty:long, tag:string>>",
+    )
+    out = jx.run(
+        {
+            "from": "t",
+            "where": {"gte": {"items.qty": 20}},
+            "select": ["id", {"name": "qty", "value": "items.qty"},
+                       {"name": "tag", "value": "items.tag"}],
+            "sort": ["id", "qty"],
+        },
+        {"t": df},
+    )
+    got = [(r["id"], r["qty"], r["tag"]) for r in out.collect()]
+    assert got == [(1, 20, "b"), (2, 30, "c")]
+
+    # two-level dive: array<struct<...array<struct>>>
+    df2 = spark.createDataFrame(
+        [(1, [([ (5, ), (7,) ],)]), (2, [([ (9,) ],)])],
+        "id long, outer array<struct<inner:array<struct<x:long>>>>",
+    )
+    out2 = jx.run(
+        {"from": "t", "select": ["id", {"name": "x", "value": "outer.inner.x"}],
+         "sort": ["id", "x"]},
+        {"t": df2},
+    )
+    assert [(r["id"], r["x"]) for r in out2.collect()] == [(1, 5), (1, 7), (2, 9)]

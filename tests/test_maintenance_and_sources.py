@@ -107,3 +107,38 @@ def test_q21_matches_duckdb(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollover_sink_routing_and_expiry(spark, tmp_path):
+    """Time-partition routing + DATA_TOO_OLD rejection + age-based partition
+    expiry (vendor/pyLibrary/env/rollover_index.py:69-130)."""
+    import datetime as dt
+
+    from activedata_etl_spark.lake.rollover import RolloverSink
+
+    now = dt.datetime(2024, 6, 15)
+    sink = RolloverSink(
+        spark, str(tmp_path / "roll"), rollover_field="ts",
+        rollover_interval="month", rollover_max=dt.timedelta(days=120),
+        now=now,
+    )
+    rows = [
+        (1, dt.datetime(2024, 6, 1)),
+        (2, dt.datetime(2024, 5, 20)),
+        (3, dt.datetime(2024, 3, 1)),    # old but within 120d horizon
+        (4, dt.datetime(2023, 1, 1)),    # DATA_TOO_OLD -> rejected
+        (5, None),                        # null ts -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    s = sink.write(df)
+    assert s["rejected_too_old"] == 1
+    assert sink.partitions() == ["20240301_000000", "20240501_000000", "20240601_000000"]
+    assert {r["id"] for r in sink.read().collect()} == {1, 2, 3}
+    # bounded read prunes partitions
+    assert {r["id"] for r in sink.read(since=dt.datetime(2024, 5, 1)).collect()} == {1, 2}
+
+    # advance the clock: March ages out of the 120-day horizon
+    sink._now = dt.datetime(2024, 8, 1)
+    removed = sink.expire()
+    assert removed == ["20240301_000000"]
+    assert {r["id"] for r in sink.read().collect()} == {1, 2}

@@ -80,3 +80,49 @@ def test_lww_partitioning_invariance(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_typed_decode_roundtrip(spark):
+    """decode(encode(x)) == x for JSON without missing-value leaves
+    (untype_path/untyped, vendor/mo_json/typed_encoder.py:36-117)."""
+    from activedata_etl_spark.functions.normalize import typed_decode_udf
+
+    docs = [
+        json.dumps({"b": True, "n": 3, "s": "hi"}, sort_keys=True,
+                   separators=(",", ":")),
+        json.dumps({"outer.dot": {"a": "x", "z": 1}}, sort_keys=True,
+                   separators=(",", ":")),
+        json.dumps({"arr": [1, "two"]}, sort_keys=True, separators=(",", ":")),
+        None,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "js string")
+    got = [
+        r[0]
+        for r in df.select(typed_decode_udf(typed_encode_udf("js"))).collect()
+    ]
+    assert got[:3] == docs[:3]
+    assert got[3] is None
+
+
+def test_lww_structmax_agrees_and_is_deterministic(spark):
+    from activedata_etl_spark.operators.lww import lww_reduce, lww_reduce_structmax
+
+    j = journal_df(spark, 2048)
+    a = lww_reduce(j).orderBy("repo", "path").toPandas()
+    b = lww_reduce_structmax(j).orderBy("repo", "path").toPandas()
+    import pandas as pd
+
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].reset_index(drop=True), b[cols].reset_index(drop=True)
+    )
+
+    # version TIE with different payloads: structmax breaks deterministically
+    # by payload ordering (largest payload struct wins), any partitioning
+    rows = [("r", "p", 1, 1, "ins", "AAA"), ("r", "p", 1, 1, "ins", "ZZZ")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit_seq long, offset long, op string, content string"
+    )
+    for parts in (1, 3):
+        got = lww_reduce_structmax(df.repartition(parts)).collect()
+        assert len(got) == 1 and got[0]["content"] == "ZZZ"
