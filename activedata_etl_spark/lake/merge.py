@@ -247,6 +247,20 @@ def apply_batch(
             stored_cols = [c for c in reduced.columns if c not in ENVELOPE_DROP
                            and c != BUCKET_COL]
 
+        reduced_persisted = None
+        if lineage_level != "full" and snap["bucket_dirs"]:
+            # summary mode used touched = ALL buckets, making every
+            # incremental batch O(table): rewrite of every bucket.  The
+            # winner set is tiny post-reduce, so persist it and read the
+            # actually-touched buckets off it — merge cost returns to
+            # O(touched).  (Skipped when the table is empty: the pure-upsert
+            # path below never reads target buckets at all.)
+            reduced_persisted = reduced.persist()
+            touched = sorted(
+                r[0]
+                for r in reduced_persisted.select(BUCKET_COL).distinct().collect()
+            )
+
         # ---- schema evolution pre-pass (transactional with this commit) --
         from pyspark.sql import types as T
 
@@ -387,6 +401,11 @@ def apply_batch(
     finally:
         if persist:
             persisted.unpersist()
+        try:
+            if reduced_persisted is not None:
+                reduced_persisted.unpersist()
+        except NameError:
+            pass  # epoch-fenced / metadata-only exits never created it
 
 
 def _summary_counters(

@@ -112,3 +112,89 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize step: Arrow-batched over the binary column; the pixel work is
+    STUBBED (no image libs in this container — swap the body for
+    PIL.Image.resize) but the batch shape, schema, and deterministic output
+    contract are the real artifact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"].tolist()
+            # deterministic fake "resized" payload: content-addressed digest
+            # + target dims (a real codec returns re-encoded bytes here)
+            resized = [
+                hashlib.sha256(
+                    (b or b"") + f"{width}x{height}".encode()
+                ).digest()
+                for b in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 16) -> DataFrame:
+    """Frame sampling: 1 video row -> N frame rows (the explode-shaped UDTF).
+    Frame decode is STUBBED; the row-multiplication, schema, and per-frame
+    determinism are real.  Only 'video' rows produce frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                if rec["kind"] != "video" or rec["payload"] is None:
+                    continue
+                duration = int(rec["meta"]["duration_ms"] or 0)
+                n = min(max(duration // every_ms, 1), max_frames)
+                for i in range(n):
+                    ts = i * every_ms
+                    rows.append(
+                        {
+                            "media_id": rec["media_id"],
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            "frame_sha256": hashlib.sha256(
+                                rec["payload"] + ts.to_bytes(8, "big")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame_sha256"]
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -147,3 +147,79 @@ def lsh_ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 31,
+    sample_fraction: float = 1.0,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the classic
+    coarse-quantizer ANN: k-means centroids, corpus rows filed under their
+    nearest centroid, each query probes only its ``n_probe`` nearest cells.
+
+    Physical shape for 10^8+ vectors: the centroid model is TINY (n_centroids
+    x dim floats) and is the only thing that ever reaches the driver; the
+    corpus gets ONE pass to assign cell ids, candidates come from a (cell)
+    equi-join against the broadcast probe list, exact cosine re-ranks.
+    Training samples ``sample_fraction`` of the corpus through Spark MLlib
+    KMeans (distributed; deterministic via seed).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window as W
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+
+    # centroid matrix is the model — small by construction; expressed as a
+    # literal array-of-arrays so cell assignment is pure Catalyst (no UDF)
+    cents = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in model.clusterCenters()
+    ]
+
+    def sq_dist(vec, cent):
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cell_ranking(vec):
+        dists = F.array(*[
+            F.struct(sq_dist(vec, c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(cents)
+        ])
+        return F.transform(F.array_sort(dists), lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(cell_ranking(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(cell_ranking(F.col(vec_col)), 1, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -68,6 +68,11 @@ _AGGS = {
     "var": F.var_samp,
     "variance": F.var_samp,
     "one": F.first,
+    # moment sums (es52/util.py:97-124: N, s0, s1, s2=sum_of_squares)
+    "N": F.count,
+    "s0": F.count,
+    "s1": F.sum,
+    "s2": lambda c: F.sum(c * c),
 }
 
 # aggregates whose empty-bucket value is 0, not null (dense Matrix zero-fill,

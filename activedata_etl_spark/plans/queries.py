@@ -883,6 +883,16 @@ def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_ann_topk(e, q, k=3, n_planes=4).orderBy("query_id", "rank")
 
 
+def sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (kmeans model-dependent; rows-only driver
+    check, recall vs exact top-k asserted in pytest)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return SIM.ivf_ann_topk(e, q, k=3, n_centroids=8, n_probe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return d.select(
@@ -1065,6 +1075,7 @@ SPARK_QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,

@@ -153,3 +153,26 @@ def test_update_where_moving_key_stays_visible(spark, tmp_path):
     # and a delete that empties buckets must drop their pointers
     table.delete_where("path like 'f%'")
     assert {r["path"] for r in table.read().collect()} == {"moved/deep/f3.py"}
+
+
+def test_summary_mode_incremental_merge_touches_few_buckets(spark, tmp_path):
+    """In summary lineage mode an incremental batch must NOT rewrite the
+    whole table: touched buckets come from the reduced winner set."""
+    loc = str(tmp_path / "lake_sumtouch")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"X{i}", None)
+        for i in range(40)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    table = ensure_table(spark, loc, b0.schema, n_buckets=32)
+    s0 = apply_batch(table, _norm(b0), 0, lineage_level="summary")
+    assert s0["rows_applied"] == 40
+
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f7.py", "d" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    s1 = apply_batch(table, _norm(b1), 1, lineage_level="summary")
+    assert s1["touched_buckets"] == 1
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["f7.py"] == "NEW" and len(got) == 40

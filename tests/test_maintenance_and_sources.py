@@ -142,3 +142,81 @@ def test_rollover_sink_routing_and_expiry(spark, tmp_path):
     removed = sink.expire()
     assert removed == ["20240301_000000"]
     assert {r["id"] for r in sink.read().collect()} == {1, 2}
+
+
+def _git_diff(path_a, path_b, a_text, b_text, extra_header=None):
+    import difflib
+
+    body = "\n".join(
+        difflib.unified_diff(
+            a_text.split("\n") if a_text else [],
+            b_text.split("\n") if b_text else [],
+            fromfile=f"a/{path_a}", tofile=f"b/{path_b}", lineterm="",
+        )
+    )
+    head = f"diff --git a/{path_a} b/{path_b}\n"
+    if extra_header:
+        head += extra_header + "\n"
+    return head + body
+
+
+def test_diff_parse_apply_roundtrip(spark):
+    """Unified diff -> change events -> apply == new content; reversed apply
+    restores the old content (mo_hg/parse.py:35-174 + apply.py:85-161)."""
+    from activedata_etl_spark.sources.diff import (
+        apply_changes,
+        diff_to_events,
+        parse_unified_diff,
+        reverse_changes,
+    )
+
+    a = "alpha\nbravo\ncharlie\ndelta\necho"
+    b = "alpha\ncharlie\ndelta\nxray\necho\nzulu"
+    d1 = _git_diff("src/f.py", "src/f.py", a, b)
+    d2 = _git_diff("docs/new.md", "docs/new.md", "", "hello\nworld",
+                   extra_header="new file mode 100644")
+    full = d1 + "\n" + d2
+
+    files = parse_unified_diff(full)
+    assert [f["op"] for f in files] == ["update", "insert"]
+    assert files[0]["n_removed"] == 1 and files[0]["n_added"] == 2
+
+    # forward apply reproduces the new content
+    assert apply_changes(a, files[0]["changes"]) == b
+    assert apply_changes("", files[1]["changes"]) == "hello\nworld"
+    # backwards apply restores the old content
+    assert apply_changes(b, reverse_changes(files[0]["changes"])) == a
+
+    # Spark surface: one event row per touched file, Arrow-batched
+    df = spark.createDataFrame([("r1", "c" * 12, full)], "repo string, commit string, diff string")
+    evs = diff_to_events(df).orderBy("new_path").collect()
+    assert [(e["repo"], e["new_path"], e["op"]) for e in evs] == [
+        ("r1", "docs/new.md", "insert"), ("r1", "src/f.py", "update"),
+    ]
+
+    # rename + delete ops
+    d3 = _git_diff("old/name.py", "new/name.py", "x\ny", "x\ny\nz")
+    d4 = _git_diff("gone.py", "gone.py", "a\nb", "",
+                   extra_header="deleted file mode 100644")
+    files2 = parse_unified_diff(d3 + "\n" + d4)
+    assert [f["op"] for f in files2] == ["rename", "delete"]
+
+
+def test_diff_apply_udf(spark):
+    from activedata_etl_spark.sources.diff import (
+        apply_changes_udf,
+        diff_to_events,
+    )
+    from pyspark.sql import functions as F
+
+    a = "one\ntwo\nthree"
+    b = "one\n2\nthree\nfour"
+    df = spark.createDataFrame(
+        [("r", "c" * 12, _git_diff("f.txt", "f.txt", a, b))],
+        "repo string, commit string, diff string",
+    )
+    evs = diff_to_events(df).withColumn("base", F.lit(a))
+    out = evs.select(
+        apply_changes_udf()(F.col("base"), F.col("changes")).alias("applied")
+    ).first()
+    assert out["applied"] == b

@@ -185,3 +185,49 @@ def test_embedding_neardup_tiled_matches_exact(spark, emb):
                                   n_blocks=5)
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
     assert got == expect
+
+
+def test_ivf_ann_recall_vs_exact(spark, emb):
+    """IVF coarse quantizer: candidates from probed cells only, recall vs
+    exact top-k stays usable; scores are true cosines."""
+    from activedata_etl_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, q, k=5, n_centroids=8, n_probe=4).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    row = next(iter(ivf_ann_topk(emb, q, k=1, n_centroids=4, n_probe=2).collect()))
+    assert -1.0 <= row["score"] <= 1.0
+
+
+def test_multimodal_resize_and_frame_sampling(spark, docs):
+    from activedata_etl_spark.multimodal import (
+        media_from_documents,
+        resize_media,
+        sample_frames,
+    )
+
+    media = media_from_documents(docs.limit(30))
+    rs = resize_media(media, width=224, height=224).collect()
+    assert len(rs) == 30
+    assert all(r["width"] == 224 and len(r["payload"]) == 32 for r in rs)
+    # determinism
+    again = {r["media_id"]: r["payload"] for r in resize_media(media, width=224, height=224).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in rs)
+
+    frames = sample_frames(media, every_ms=500, max_frames=4).collect()
+    vids = {r["media_id"] for r in media.where("kind = 'video'").collect()}
+    assert {f["media_id"] for f in frames} <= vids
+    assert all(f["frame_idx"] < 4 for f in frames)
+    per = {}
+    for f in frames:
+        per.setdefault(f["media_id"], []).append(f)
+    for mid, fs in per.items():
+        assert [x["frame_idx"] for x in sorted(fs, key=lambda x: x["frame_idx"])] == list(range(len(fs)))
