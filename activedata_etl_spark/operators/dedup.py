@@ -104,8 +104,16 @@ def ngram_jaccard_pairs(
     by more than N docs (stop-shingle skew guard for web scale).
     """
     sh = shingled(df, id_col, text_col, n)
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    ex = sh.select("id", F.explode("sh").alias("shingle"))
+    # ONE explicit exchange on the join key: the exploded table feeds the
+    # freq cap AND both self-join sides — without this the explode+shuffle
+    # subtree ran FOUR times (event-log audit: 4x identical 471MB shuffle
+    # writes); with it every shingle-keyed consumer hangs off a single
+    # ReusedExchange, and the cap join is co-partitioned (no extra shuffle)
+    ex = sh.select("id", F.explode("sh").alias("shingle")).repartition("shingle")
+    # per-doc shingle counts off the SAME exchange (shingles are distinct
+    # per doc, so the exploded count equals size(sh)) instead of two more
+    # document scans for the n_a/n_b join-backs
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
         ex = ex.join(freq.select("shingle"), "shingle")

@@ -1,0 +1,74 @@
+"""ES `_bulk` NDJSON formatter — the wire format of the reference's LWW sink.
+
+The reference pushes documents with `_bulk` bodies of alternating action and
+source lines: `{"index": {"_id": id, "version": v, "version_type":
+"external_gte"}}` then the document JSON
+(`vendor/pyLibrary/env/elasticsearch.py:314-335` `_data_bytes`; id/version
+extraction `get_encoder` :1434-1463).  This sandbox has no network/ES, so the
+sink renders the exact bulk payload distributively (pure Catalyst `to_json` —
+no Python) and writes it as text part-files, one batch of ``batch_size``
+action/source pairs per output line group — a real deployment POSTs each
+part to `/_bulk` unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bulk_action_lines(
+    df: DataFrame,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path"),
+    version_cols: tuple[str, ...] = ("commit_seq", "offset"),
+    version_scale: int = 1_000_000,
+) -> DataFrame:
+    """One output row per document: (action_line, source_line).
+
+    - `_id` is the joined key (the reference builds ids by joining key parts,
+      `get_encoder` elasticsearch.py:1434-1463);
+    - `version` must be a single monotone int for `external_gte`: the version
+      tuple is collapsed as ``first * scale + second`` (the reference's
+      versions are already scalar ES external versions).
+    """
+    _id = F.concat_ws(":", *[F.col(c) for c in id_cols])
+    if len(version_cols) == 1:
+        version = F.col(version_cols[0]).cast("long")
+    else:
+        version = (
+            F.col(version_cols[0]).cast("long") * version_scale
+            + F.col(version_cols[1]).cast("long")
+        )
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                _id.alias("_id"),
+                version.alias("version"),
+                F.lit("external_gte").alias("version_type"),
+            ).alias("index")
+        )
+    )
+    payload_cols = [c for c in df.columns]
+    source = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    return df.select(action.alias("action_line"), source.alias("source_line"))
+
+
+def write_bulk_files(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path"),
+    version_cols: tuple[str, ...] = ("commit_seq", "offset"),
+    batch_size: int = 5000,
+) -> None:
+    """Render `_bulk` bodies as text part-files: alternating action/source
+    lines, ``batch_size`` docs per POST-able chunk (the reference's default
+    batch, `rollover_index.py:45` / push_to_es settings).  Partition sizing
+    = one part-file per ~batch, so each file IS one bulk request body."""
+    lines = bulk_action_lines(df, id_cols=id_cols, version_cols=version_cols)
+    body = lines.select(
+        F.concat_ws("\n", "action_line", "source_line").alias("value")
+    )
+    n = max(1, body.count() // batch_size)
+    body.repartition(n).write.mode("overwrite").text(out_dir)

@@ -220,3 +220,33 @@ def test_diff_apply_udf(spark):
         apply_changes_udf()(F.col("base"), F.col("changes")).alias("applied")
     ).first()
     assert out["applied"] == b
+
+
+def test_es_bulk_formatter(spark, tmp_path):
+    """_bulk NDJSON: alternating action/source lines with external_gte
+    versioning (elasticsearch.py:314-335)."""
+    import glob
+    import json
+
+    from activedata_etl_spark.sinks.es_bulk import bulk_action_lines, write_bulk_files
+
+    df = spark.createDataFrame(
+        [("r1", "a.py", 5, 2, "X"), ("r1", "b.py", 9, 1, "Y")],
+        "repo string, path string, commit_seq long, offset long, content string",
+    )
+    rows = bulk_action_lines(df).orderBy("action_line").collect()
+    a0 = json.loads(rows[0]["action_line"])
+    assert a0["index"]["_id"] == "r1:a.py"
+    assert a0["index"]["version_type"] == "external_gte"
+    assert a0["index"]["version"] == 5 * 1_000_000 + 2
+    s0 = json.loads(rows[0]["source_line"])
+    assert s0 == {"repo": "r1", "path": "a.py", "commit_seq": 5, "offset": 2,
+                  "content": "X"}
+
+    out = str(tmp_path / "bulk")
+    write_bulk_files(df, out, batch_size=1000)
+    lines = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        lines += [ln for ln in open(f).read().split("\n") if ln]
+    assert len(lines) == 4  # 2 docs x (action + source)
+    assert all(json.loads(ln) for ln in lines)
