@@ -7,7 +7,7 @@ re-writes merge by key keeping the newest (`activedata_etl/sinks/
 s3_bucket.py:92-118`).  Here: per (repo, path) keep the event with the
 largest (commit_seq, offset).
 
-Four physical strategies, same semantics:
+Five physical strategies, same semantics:
 
 - ``lww_reduce_structmax`` ONE scan, ONE shuffle: ``max(struct(version...,
                            payload...))`` — plain Max over an orderable

@@ -40,7 +40,7 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", str(1 << 25)))
 # 100M+ events, which this approximates; multi-batch resume is correctness-
 # tested in pytest
 CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", str(N_EVENTS)))
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # N vs 4N EXECUTORS (separate JVM processes via local-cluster[E,C,mem]).
 # This sandbox caps CPU per *process* — thread-based local[N] cannot scale
 # past ~8 threads no matter the code (measured: 32 threads in one process get

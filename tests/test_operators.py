@@ -231,3 +231,20 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
         per.setdefault(f["media_id"], []).append(f)
     for mid, fs in per.items():
         assert [x["frame_idx"] for x in sorted(fs, key=lambda x: x["frame_idx"])] == list(range(len(fs)))
+
+
+def test_jaccard_stop_shingle_cap_prunes(spark):
+    """The frequency cap removes hot shingles from candidate generation:
+    docs that only share a stop-shingle stop pairing once it exceeds the
+    cap (web-scale skew guard)."""
+    from activedata_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown"          # one shared 3-gram across ALL docs
+    rows = [(i, f"{stop} unique{i} words{i} here{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1).collect()
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.1, max_shingle_freq=3
+    ).collect()
+    assert len(uncapped) == 15        # all pairs share the stop shingle
+    assert len(capped) == 0           # cap kills the hot join key

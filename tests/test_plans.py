@@ -116,3 +116,26 @@ def test_streaming_tail_processing_time(spark, tmp_path):
         assert table.current_version() > v_before
     finally:
         q.stop()
+
+
+def test_jaccard_and_minhash_reuse_exchanges(spark):
+    """The exploded-shingle exchange must be planned ONCE and reused by the
+    freq cap + both self-join sides (it was recomputed 4x before); same for
+    the minhash band exchange."""
+    from activedata_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # AQE inserts ReusedExchange at runtime, and only into the plan that is
+    # actually executed — collect() THIS frame (count() builds its own plan)
+    out = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                              max_shingle_freq=100)
+    out.collect()
+    assert "ReusedExchange" in _plan(out)
+
+    out2 = minhash_lsh_pairs(df, "doc_id", "text", k=16, bands=4,
+                             threshold=0.5, verify_exact=False)
+    out2.collect()
+    assert "ReusedExchange" in _plan(out2)
