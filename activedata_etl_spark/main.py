@@ -1,0 +1,117 @@
+"""spark-submit entry point for the CDC engine.
+
+Deploy (north rule: `spark-submit --py-files` on a multi-executor cluster):
+
+    cd <repo> && zip -r /tmp/engine.zip activedata_etl_spark
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        --num-executors N --executor-cores C --executor-memory 8g \
+        -m activedata_etl_spark.main  # or: path to this file
+        replay --journal s3://.../journal --table s3://.../lake
+
+Subcommands mirror the reference's process entry points
+(`activedata_etl/etl.py:438-512` main/etl_one; maintenance scripts):
+
+  replay    chunked batch replay (availableNow analog; resumable, fenced)
+  stream    Structured Streaming tail with checkpoint
+  backfill  bounded offset-range replay (`--id a..b` analog)
+  compact   rewrite all buckets at the current schema
+  expire    drop unreachable snapshots + data dirs
+  lineage   print the per-batch/per-partition lineage table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="activedata_etl_spark")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--journal", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--chunk-events", type=int, default=50_000_000)
+    r.add_argument("--salted", action="store_true")
+    r.add_argument("--n-buckets", type=int, default=64)
+    r.add_argument("--lineage", choices=["full", "summary"], default="full")
+
+    s = sub.add_parser("stream")
+    s.add_argument("--journal", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--available-now", action="store_true")
+    s.add_argument("--n-buckets", type=int, default=64)
+
+    b = sub.add_parser("backfill")
+    b.add_argument("--journal", required=True)
+    b.add_argument("--table", required=True)
+    b.add_argument("--offsets", required=True, help="lo..hi inclusive range")
+    b.add_argument("--chunk-events", type=int, default=50_000_000)
+
+    for name in ("compact", "expire", "lineage"):
+        c = sub.add_parser(name)
+        c.add_argument("--table", required=True)
+        if name == "expire":
+            c.add_argument("--keep-last", type=int, default=2)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _parser().parse_args(argv)
+    from activedata_etl_spark.session import get_spark_submit
+
+    spark = get_spark_submit(f"adetl_{args.cmd}", args.shuffle_partitions)
+
+    if args.cmd == "replay":
+        from activedata_etl_spark.streaming.replay import replay_journal
+
+        r = replay_journal(
+            spark, args.journal, args.table, chunk_events=args.chunk_events,
+            salted=args.salted, n_buckets=args.n_buckets, verbose=True,
+            lineage_level=args.lineage,
+        )
+        r.pop("summaries", None)
+        print(json.dumps(r))
+    elif args.cmd == "stream":
+        from activedata_etl_spark.streaming.replay import stream_journal
+
+        q = stream_journal(
+            spark, args.journal, args.table, args.checkpoint,
+            available_now=args.available_now, n_buckets=args.n_buckets,
+        )
+        if not args.available_now:
+            q.awaitTermination()
+    elif args.cmd == "backfill":
+        from activedata_etl_spark.streaming.replay import replay_journal
+
+        lo, hi = (int(x) for x in args.offsets.split(".."))
+        r = replay_journal(
+            spark, args.journal, args.table, chunk_events=args.chunk_events,
+            offset_range=(lo, hi), verbose=True,
+        )
+        r.pop("summaries", None)
+        print(json.dumps(r))
+    elif args.cmd == "compact":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        v = SnapshotTable(spark, args.table).compact()
+        print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "expire":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        removed = SnapshotTable(spark, args.table).expire_snapshots(args.keep_last)
+        print(json.dumps({"removed": removed}))
+    elif args.cmd == "lineage":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        SnapshotTable(spark, args.table).read_lineage().orderBy(
+            "batch_id", "partition"
+        ).show(200, truncate=False)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -14,6 +14,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tuning_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """The engine's Spark tuning as plain conf (shared by local test
+    sessions and spark-submit deployments)."""
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+    if shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return conf
+
+
+def get_spark_submit(app_name: str, shuffle_partitions: int | None = None) -> SparkSession:
+    """Session for `spark-submit --py-files activedata_etl_spark.zip ...`:
+    master/executors/memory come from the submit command line (or the
+    cluster manager), only the engine's SQL tuning is applied here."""
+    b = SparkSession.builder.appName(app_name)
+    for k, v in tuning_conf(shuffle_partitions).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def get_spark(
     app_name: str = "activedata_etl_spark",
     parallelism: int | str | None = None,

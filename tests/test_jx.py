@@ -352,3 +352,46 @@ def test_nested_array_dive(spark):
         {"t": df2},
     )
     assert [(r["id"], r["x"]) for r in out2.collect()] == [(1, 5), (1, 7), (2, 9)]
+
+
+def test_jx_query_over_converged_lake_table(spark, tmp_path):
+    """End-to-end: journal -> CDC replay -> SnapshotTable -> jx-lite query,
+    verified against a pandas aggregation of the same converged state."""
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.lake.table import SnapshotTable
+    from activedata_etl_spark.streaming.replay import replay_journal
+
+    jd, loc = str(tmp_path / "j"), str(tmp_path / "lake")
+    write_journal(spark, 2048, jd)
+    replay_journal(spark, jd, loc, chunk_events=1024)
+    files = SnapshotTable(spark, loc).read()
+
+    out = jx.run(
+        {
+            "from": "files",
+            "where": {"exists": "content"},
+            "groupby": ["repo"],
+            "select": [
+                {"name": "n_files", "aggregate": "count"},
+                {"name": "n_langs", "value": "lang", "aggregate": "cardinality"},
+                {"name": "max_seq", "value": "commit_seq", "aggregate": "max"},
+            ],
+            "sort": "repo",
+        },
+        {"files": files},
+    )
+    got = {r["repo"]: (r["n_files"], r["n_langs"], r["max_seq"])
+           for r in out.collect()}
+
+    pdf = files.toPandas()
+    pdf = pdf[pdf["content"].notna()]
+    expect = {
+        repo: (
+            len(g),
+            g["lang"].dropna().nunique(),
+            int(g["commit_seq"].max()),
+        )
+        for repo, g in pdf.groupby("repo")
+    }
+    assert got == expect
+    assert "repo_hot" in got  # skewed hot repo survived the replay

@@ -250,3 +250,24 @@ def test_es_bulk_formatter(spark, tmp_path):
         lines += [ln for ln in open(f).read().split("\n") if ln]
     assert len(lines) == 4  # 2 docs x (action + source)
     assert all(json.loads(ln) for ln in lines)
+
+
+def test_cli_replay_and_lineage(spark, tmp_path):
+    """spark-submit CLI surface: replay + compact + lineage subcommands run
+    against a real journal (session reused via getOrCreate)."""
+    import json as _json
+
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.lake.table import SnapshotTable
+    from activedata_etl_spark.main import main as cli
+
+    jd, loc = str(tmp_path / "j"), str(tmp_path / "lake_cli")
+    write_journal(spark, 1024, jd)
+    cli(["replay", "--journal", jd, "--table", loc, "--chunk-events", "512"])
+    t = SnapshotTable(spark, loc)
+    assert t.read().count() > 0
+    v = t.current_version()
+    cli(["compact", "--table", loc])
+    assert t.current_version() == v + 1
+    cli(["backfill", "--journal", jd, "--table", loc, "--offsets", "0..511"])
+    cli(["lineage", "--table", loc])
