@@ -56,6 +56,17 @@ def digit_ratio(text: Column) -> Column:
     return n / F.greatest(F.length(text), F.lit(1))
 
 
+STOPWORDS = ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"]
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword tokens / all tokens — the classic quality signal (too low =
+    keyword soup / boilerplate, too high = filler)."""
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(STOPWORD_RE), 0))
+    return hits / F.greatest(token_count(text), F.lit(1))
+
+
 def mean_token_len(text: Column) -> Column:
     toks = token_count(text)
     nonspace = F.length(F.regexp_replace(text, r"\s+", ""))

@@ -243,17 +243,38 @@ def read_journal(spark: SparkSession, journal_dir: str) -> DataFrame:
     return out
 
 
-def journal_metadata(journal_dir: str) -> dict:
-    """max offset + journal-partition id range, from parquet footer stats
-    only (driver-side pyarrow; no Spark job).  Used by the replay driver to
-    size chunks and precompute watermarks analytically."""
+def journal_metadata(
+    journal_dir: str, spark: SparkSession | None = None, file_threshold: int = 2000
+) -> dict:
+    """max offset + journal-partition id range.  Small journals: parquet
+    footer stats read driver-side (no Spark job).  Past ``file_threshold``
+    files the serial footer walk stops scaling (100k files at 10^10 events),
+    so the stats come from one column-pruned distributed agg instead —
+    parquet min/max row-group stats make it a metadata-ish scan."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    files = _glob.glob(f"{journal_dir.rstrip('/')}/**/*.parquet", recursive=True)
+    if spark is not None and len(files) > file_threshold:
+        row = (
+            read_journal(spark, journal_dir)
+            .agg(
+                F.max("offset").alias("mo"),
+                F.min("partition").alias("pmin"),
+                F.max("partition").alias("pmax"),
+            )
+            .first()
+        )
+        parts = (
+            list(range(int(row["pmin"]), int(row["pmax"]) + 1))
+            if row["pmin"] is not None else []
+        )
+        return {"max_offset": row["mo"], "partitions": parts}
+
     max_offset = None
     p_min = p_max = None
-    for f in _glob.glob(f"{journal_dir.rstrip('/')}/**/*.parquet", recursive=True):
+    for f in files:
         md = pq.ParquetFile(f).metadata
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         off_i = schema_names.index("offset")

@@ -902,6 +902,7 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
         TX.char_count(F.col("text")).alias("n_chars_m"),
         F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_r"),
         F.round(TX.digit_ratio(F.col("text")), 6).alias("digit_r"),
+        F.round(TX.stopword_ratio(F.col("text")), 6).alias("stop_r"),
     ).orderBy("doc_id")
 
 
@@ -911,7 +912,9 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens,
        length(text) AS n_chars_m,
        round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct_r,
-       round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 6) AS digit_r
+       round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 6) AS digit_r,
+       round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b'))
+             / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stop_r
 FROM documents ORDER BY doc_id
 """
 

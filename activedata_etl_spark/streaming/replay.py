@@ -102,8 +102,9 @@ def replay_journal(
         )
     table = ensure_table(spark, table_location, journal.schema, n_buckets=n_buckets)
 
-    # max offset + partition set from parquet footer stats (no Spark job)
-    meta = journal_metadata(journal_dir)
+    # max offset + partition set: footer stats driver-side for small
+    # journals, one distributed column-pruned agg past ~2k files
+    meta = journal_metadata(journal_dir, spark)
     max_offset = meta["max_offset"]
     if offset_range is not None and max_offset is not None:
         max_offset = min(max_offset, offset_range[1])

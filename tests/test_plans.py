@@ -139,3 +139,51 @@ def test_jaccard_and_minhash_reuse_exchanges(spark):
                              threshold=0.5, verify_exact=False)
     out2.collect()
     assert "ReusedExchange" in _plan(out2)
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState: per-key counters accumulate ACROSS
+    micro-batches (state survives the batch boundary) and the final totals
+    match a plain batch aggregation."""
+    from pyspark.sql import functions as F2
+
+    from activedata_etl_spark.journal import read_journal, write_journal
+    from activedata_etl_spark.streaming.stateful import keyed_running_counts
+
+    jd = str(tmp_path / "j")
+    write_journal(spark, 1024, jd, v2_fraction=0.0)
+    static = read_journal(spark, jd)
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 2)   # force several micro-batches
+        .parquet(jd + "/*")
+    )
+    q = (
+        keyed_running_counts(stream)
+        .writeStream.format("memory").queryName("running")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    # update mode emits a row per key per batch; the LAST (max) value per
+    # key is the cumulative total
+    got = {
+        r["repo"]: (r["n_events"], r["n_deletes"], r["max_commit_seq"])
+        for r in spark.sql(
+            "SELECT repo, max(n_events) n_events, max(n_deletes) n_deletes, "
+            "max(max_commit_seq) max_commit_seq FROM running GROUP BY repo"
+        ).collect()
+    }
+    expect = {
+        r["repo"]: (r["n"], r["d"], r["m"])
+        for r in static.groupBy("repo").agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum((F2.col("op") == "delete").cast("long")).alias("d"),
+            F2.max("commit_seq").alias("m"),
+        ).collect()
+    }
+    assert got == expect
