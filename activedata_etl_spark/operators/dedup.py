@@ -44,28 +44,13 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text, n: int = 3):
-    """Distinct word n-gram shingles as an array column (1-based windows).
-
-    NOTE: prefer ``shingled(df, ...)`` which tokenizes into a real column
-    first.  Used directly, the tokenizer expression is INLINED inside the
-    transform lambda and higher-order functions get no common-subexpression
-    elimination — the regex re-runs for every element_at, making this
-    O(len x shingles) per doc (measured 12 s vs 0.5 s at sf0.1)."""
-    toks = F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(sh)
-
-
 def shingles_of_tokens(toks: F.Column, n: int = 3) -> F.Column:
-    """Shingles from an already-materialized token ARRAY COLUMN — element_at
-    against a bound column is O(1), so this is linear in shingle count."""
+    """Distinct word n-gram shingles from an already-materialized token
+    ARRAY COLUMN (1-based windows).  The tokens MUST be a bound column, not
+    an inline expression: higher-order-function lambdas get no
+    common-subexpression elimination, so an inlined tokenizer regex would
+    re-run for every element_at — O(len x shingles) per doc (measured 12 s
+    vs 0.5 s at sf0.1 before ``shingled`` materialized it)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.transform(
         idx,
