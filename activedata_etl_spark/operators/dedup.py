@@ -351,3 +351,49 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": sims[ii, jj]})
 
     return replicated.groupBy("ti", "tj").applyInPandas(tile, out_schema)
+
+
+def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Pair list -> connected components: (id, cluster_id = min id in the
+    component).  This is the step a dedup pipeline actually consumes — keep
+    ``id == cluster_id``, drop the rest.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow in practice — chains
+    of near-identical docs).  Each round is one equi-join + hash agg, fully
+    distributed; the only driver action is the tiny convergence check.
+    """
+    from pyspark.sql import Observation
+
+    # localCheckpoint(eager): materialize once AND truncate lineage so each
+    # round's plan stays O(1) deep (persist alone lets the plan tree grow
+    # with the iteration count)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # round 0 folded into the init: label = min(self, direct neighbors)
+    labels = edges.groupBy("src").agg(F.min("dst").alias("nmin")).select(
+        F.col("src").alias("id"), F.least("src", "nmin").alias("label")
+    ).localCheckpoint()
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+        obs = Observation(f"cc_{i}")
+        stepped = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select("id", new.alias("label"), (new < F.col("label")).alias("__chg"))
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n"))
+        )
+        # ONE action per round: the checkpoint job also fills the observation
+        labels = stepped.drop("__chg").localCheckpoint()
+        if int(obs.get["n"] or 0) == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -814,6 +814,53 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs -> connected components (iterative min-label
+    propagation) -> (id, cluster_id): the keep/drop decision a dedup
+    pipeline consumes.  Oracle = the same pair graph closed with a DuckDB
+    recursive CTE."""
+    d = _t(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+    )
+    return DD.near_dup_clusters(pairs).orderBy("id")
+
+
+ORACLE_JACCARD_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), sized AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+keep AS (SELECT shingle FROM ex0 GROUP BY shingle
+         HAVING count(*) <= {JACCARD_MAX_SHINGLE_FREQ}),
+ex AS (SELECT doc_id, shingle FROM ex0 JOIN keep USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(id, root) AS (
+  SELECT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(root) AS cluster_id FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
     LSH banding is hash-specific; verified in pytest against exact pairs)."""
@@ -1073,6 +1120,7 @@ SPARK_QUERIES = {
     "q28_edges_dense_time": q28_edges_dense_time,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_clusters": dedup_jaccard_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -1118,6 +1166,7 @@ ORACLE_SQL = {
     "q28_edges_dense_time": ORACLE_Q28,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "text_stats": ORACLE_TEXT_STATS,

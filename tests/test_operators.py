@@ -248,3 +248,18 @@ def test_jaccard_stop_shingle_cap_prunes(spark):
     ).collect()
     assert len(uncapped) == 15        # all pairs share the stop shingle
     assert len(capped) == 0           # cap kills the hot join key
+
+
+def test_near_dup_clusters_connected_components(spark):
+    """Min-label propagation finds components incl. a CHAIN (transitive
+    closure, not just direct pairs) and leaves singletons out."""
+    from activedata_etl_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain; component {10,11}; 20-21-22 star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
