@@ -161,6 +161,7 @@ def ivf_ann_topk(
     seed: int = 31,
     sample_fraction: float = 1.0,
     max_iter: int = 8,
+    _force_blas: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning — the classic
     coarse-quantizer ANN: k-means centroids, corpus rows filed under their
@@ -172,49 +173,96 @@ def ivf_ann_topk(
     equi-join against the broadcast probe list, exact cosine re-ranks.
     Training samples ``sample_fraction`` of the corpus through Spark MLlib
     KMeans (distributed; deterministic via seed).
+
+    Cell assignment has two physical paths: small centroid sets compile to
+    pure Catalyst expressions (zero Python); past ~1000 centroid*dim values
+    the literals would bloat the plan and the per-row cost is a dense
+    matmul anyway, so assignment switches to an Arrow ``mapInPandas`` BLAS
+    pass with the centroid matrix broadcast as numpy (one matmul per
+    batch — the standard IVF assignment kernel).
     """
+    import numpy as np
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    dim = centers.shape[1]
 
-    # centroid matrix is the model — small by construction; expressed as a
-    # literal array-of-arrays so cell assignment is pure Catalyst (no UDF)
-    cents = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in model.clusterCenters()
-    ]
+    if n_centroids * dim <= 1024 and not _force_blas:
+        # Catalyst path: centroids as literal arrays, argmin via array_sort
+        cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centers]
 
-    def sq_dist(vec, cent):
-        return F.aggregate(
-            F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        def sq_dist(vec, cent):
+            return F.aggregate(
+                F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        def cell_ranking(vec):
+            dists = F.array(*[
+                F.struct(sq_dist(vec, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(cents)
+            ])
+            return F.transform(F.array_sort(dists), lambda s: s["cell"])
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.element_at(cell_ranking(F.col(vec_col)), 1).alias("cell"),
         )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.slice(cell_ranking(F.col(vec_col)), 1, n_probe)
+            ).alias("cell"),
+        )
+    else:
+        # BLAS path: broadcast the centroid matrix, one matmul per Arrow batch
+        bc = corpus.sparkSession.sparkContext.broadcast(centers)
 
-    def cell_ranking(vec):
-        dists = F.array(*[
-            F.struct(sq_dist(vec, c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(cents)
-        ])
-        return F.transform(F.array_sort(dists), lambda s: s["cell"])
+        def assign(top: int, id_out: str, vec_out: str):
+            schema = T.StructType([
+                T.StructField(id_out, T.LongType()),
+                T.StructField(vec_out, T.ArrayType(T.FloatType())),
+                T.StructField("cell", T.IntegerType()),
+            ])
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.element_at(cell_ranking(F.col(vec_col)), 1).alias("cell"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(cell_ranking(F.col(vec_col)), 1, n_probe)
-        ).alias("cell"),
-    )
+            def run(batches):
+                import pandas as pd
+
+                cent = bc.value
+                c_sq = (cent * cent).sum(axis=1)
+                for pdf in batches:
+                    mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                    if len(mat) == 0:
+                        continue
+                    # argpartition over ||x-c||^2 = ||c||^2 - 2 x.c (+const)
+                    d = c_sq[None, :] - 2.0 * (mat @ cent.T)
+                    nearest = np.argsort(d, axis=1)[:, :top]
+                    ids = pdf[id_col].to_numpy()
+                    vecs = list(pdf[vec_col])
+                    yield pd.DataFrame({
+                        id_out: np.repeat(ids, top),
+                        vec_out: [v for v in vecs for _ in range(top)],
+                        "cell": nearest.ravel().astype(np.int32),
+                    })
+
+            return schema, run
+
+        c_schema, c_run = assign(1, "neighbor_id", "c_vec")
+        c = corpus.select(id_col, vec_col).mapInPandas(c_run, c_schema)
+        q_schema, q_run = assign(n_probe, "query_id", "q_vec")
+        q = queries.select(id_col, vec_col).mapInPandas(q_run, q_schema)
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))

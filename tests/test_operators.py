@@ -263,3 +263,18 @@ def test_near_dup_clusters_connected_components(spark):
     got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_blas_path_matches_catalyst_path(spark, emb):
+    """Past the literal threshold the IVF assignment switches to the Arrow
+    BLAS kernel — both paths must produce identical results for the same
+    trained model (same centroids, same argmin)."""
+    from activedata_etl_spark.operators import similarity as S
+
+    q = emb.where(F.col("vec_id") < 5)
+    cat = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in S.ivf_ann_topk(emb, q, k=3, n_centroids=8, n_probe=3).collect()}
+    bl = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in S.ivf_ann_topk(emb, q, k=3, n_centroids=8, n_probe=3,
+                                  _force_blas=True).collect()}
+    assert bl == cat and len(bl) > 0
