@@ -710,7 +710,7 @@ def q28_edges_dense_time(spark: SparkSession, sf: str) -> DataFrame:
     from activedata_etl_spark.plans import jx
 
     e = _t(spark, sf, "events")
-    return jx.run(
+    out = jx.run(
         {
             "from": "t",
             "edges": [{"name": "month", "value": "ts",
@@ -721,6 +721,11 @@ def q28_edges_dense_time(spark: SparkSession, sf: str) -> DataFrame:
         },
         {"t": e},
     )
+    # month formatted as a string so the driver's value-hash is independent
+    # of pandas timestamp resolution (Spark=ns vs DuckDB=us)
+    return out.select(
+        F.date_format("month", "yyyy-MM-dd").alias("month"), "n"
+    ).orderBy(F.col("month").asc_nulls_first())
 
 
 ORACLE_Q28 = """
@@ -733,9 +738,9 @@ WITH parts(month) AS (
          count(*) AS n
   FROM events GROUP BY 1
 )
-SELECT p.month, coalesce(g.n, 0) AS n
+SELECT strftime(p.month, '%Y-%m-%d') AS month, coalesce(g.n, 0) AS n
 FROM parts p LEFT JOIN g ON g.m IS NOT DISTINCT FROM p.month
-ORDER BY p.month NULLS FIRST
+ORDER BY month NULLS FIRST
 """
 
 
