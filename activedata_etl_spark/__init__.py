@@ -18,7 +18,13 @@ re-expresses those capabilities Spark-first:
                    metadata + atomic commit + schema evolution + versioned
                    MERGE upserts); watermark-in-commit exactly-once
 - ``streaming``    Structured Streaming / chunked-batch replay drivers with
-                   checkpointing, lineage and metrics side tables
+                   checkpointing, lineage and metrics side tables; stateful
+                   per-key counters (applyInPandasWithState)
+- ``plans``        the jx query surface (jx-lite compiler) + the 43-query
+                   oracle-checked registry
+- ``sources``      parquet loaders, gzip JSON-lines, unified-diff parser
+- ``sinks``        ES _bulk NDJSON wire-format renderer
+- ``main``         spark-submit CLI (replay/stream/backfill/compact/expire)
 """
 
 __version__ = "0.1.0"
