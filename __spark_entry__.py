@@ -2,9 +2,10 @@
 
 entry()      flagship query on sf0.001 (CDC LWW latest-state + enrichment)
 queries()    every implemented operator from SURVEY.md §2 (plans/queries.py)
-oracle_sql() matching DuckDB SQL; hash-/Python-defined ops (minhash-LSH,
-             simhash, hyperplane ANN, typed-JSON UDF) are rows-only and are
-             verified against exact counterparts in tests/.
+oracle_sql() matching DuckDB SQL for 39 of the 43 queries; the 4
+             hash-/model-defined ops (minhash-LSH, simhash, hyperplane ANN,
+             IVF ANN) are rows-only and are verified against exact
+             counterparts in tests/ (subset + recall bounds).
 """
 
 from __future__ import annotations
