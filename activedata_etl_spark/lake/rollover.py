@@ -60,21 +60,32 @@ class RolloverSink:
         """Route rows to their time partition; too-old rows are rejected to a
         quarantine dir (DATA_TOO_OLD), null-timestamp rows are dropped (the
         reference returns Null as the queue — the row goes nowhere)."""
+        from pyspark.sql import Observation
+
         now = self._now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         routed = df.withColumn(PART_COL, self._part())
         live = routed.where(F.col(PART_COL).isNotNull())
-        if self.rollover_max is not None:
-            horizon = now - self.rollover_max
-            too_old = live.where(F.col(self.rollover_field) < F.lit(horizon))
-            live = live.where(F.col(self.rollover_field) >= F.lit(horizon))
-            n_old = too_old.count()
-            if n_old:
-                (too_old.drop(PART_COL).write.mode("append")
-                 .parquet(os.path.join(self.location, "_too_old")))
-        else:
-            n_old = 0
-        (live.write.mode("append").partitionBy(PART_COL)
+        if self.rollover_max is None:
+            (live.write.mode("append").partitionBy(PART_COL)
+             .parquet(os.path.join(self.location, "data")))
+            return {"rejected_too_old": 0}
+        # ONE scan feeds the live write AND counts the rejects (Observation
+        # rides the write job — the apply_batch pattern, lake/merge.py); the
+        # quarantine write is a second scan ONLY when rejects exist.  The
+        # old shape (`too_old.count()` + quarantine write + live write) was
+        # three full input scans on every batch.
+        horizon = now - self.rollover_max
+        old_flag = F.col(self.rollover_field) < F.lit(horizon)
+        obs = Observation("rollover_write")
+        observed = live.observe(
+            obs, F.sum(old_flag.cast("long")).alias("n_old")
+        )
+        (observed.where(~old_flag).write.mode("append").partitionBy(PART_COL)
          .parquet(os.path.join(self.location, "data")))
+        n_old = int(obs.get["n_old"] or 0)
+        if n_old:
+            (live.where(old_flag).drop(PART_COL).write.mode("append")
+             .parquet(os.path.join(self.location, "_too_old")))
         return {"rejected_too_old": n_old}
 
     def read(self, since: dt.datetime | None = None) -> DataFrame:

@@ -320,7 +320,7 @@ def embedding_neardup_pairs(
         )
     )
 
-    def tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = key
         ids = pdf["id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["vec"]), dtype=np.float64)
@@ -379,6 +379,7 @@ def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     labels = edges.groupBy("src").agg(F.min("dst").alias("nmin")).select(
         F.col("src").alias("id"), F.least("src", "nmin").alias("label")
     ).localCheckpoint()
+    changed = None
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -394,6 +395,16 @@ def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         )
         # ONE action per round: the checkpoint job also fills the observation
         labels = stepped.drop("__chg").localCheckpoint()
-        if int(obs.get["n"] or 0) == 0:
+        changed = int(obs.get["n"] or 0)
+        if changed == 0:
             break
+    if changed:
+        # exiting with labels still moving means cluster_id is NOT the
+        # component minimum for chain-shaped components deeper than max_iter
+        # — silently-wrong output; fail loudly instead
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (components "
+            f"deeper than max_iter exist)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -149,6 +149,12 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _train_fraction(n_rows: int, max_train: int) -> float:
+    """KMeans training sample fraction: full corpus only when it is already
+    small; otherwise cap the training set at ~max_train rows."""
+    return 1.0 if n_rows <= max_train else max_train / n_rows
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,7 +165,8 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 31,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_train: int = 100_000,
     max_iter: int = 8,
     _force_blas: bool = False,
 ) -> DataFrame:
@@ -171,8 +178,12 @@ def ivf_ann_topk(
     x dim floats) and is the only thing that ever reaches the driver; the
     corpus gets ONE pass to assign cell ids, candidates come from a (cell)
     equi-join against the broadcast probe list, exact cosine re-ranks.
-    Training samples ``sample_fraction`` of the corpus through Spark MLlib
-    KMeans (distributed; deterministic via seed).
+    Training runs Spark MLlib KMeans (distributed; deterministic via seed)
+    over a SAMPLE: by default ``sample_fraction`` is derived as
+    ``min(1, max_train / |corpus|)`` so the k-means iterations never scan
+    more than ~``max_train`` vectors — training on the full corpus would pay
+    ``max_iter`` full passes over 10^8+ vectors before answering a single
+    query, for centroids a 100k sample estimates just as well.
 
     Cell assignment has two physical paths: small centroid sets compile to
     pure Catalyst expressions (zero Python); past ~1000 centroid*dim values
@@ -189,6 +200,8 @@ def ivf_ann_topk(
     from pyspark.sql import types as T
 
     train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if sample_fraction is None:
+        sample_fraction = _train_fraction(corpus.count(), max_train)
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)

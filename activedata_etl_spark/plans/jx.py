@@ -39,6 +39,7 @@ resolved by inserting ``explode_outer`` at each boundary — the snowflake
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -87,17 +88,104 @@ def _var(name: str, env: dict | None) -> Column:
     return F.col(name)
 
 
+# duration seconds per unit (mo_times/durations.py:354-365 MILLI_VALUES;
+# month/quarter/year are CALENDAR units — duration algebra on them adds
+# calendar months, durations.py add_month)
+_UNIT_SECONDS = {
+    "second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0,
+    "week": 604800.0,
+}
+_CALENDAR_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+# injectable clock for deterministic tests of relative forms ("now-7day");
+# None -> wall clock, exactly like mo_times' _utcnow
+NOW_UNIX: float | None = None
+
+_REL_RE = _re.compile(
+    r"^(now|today|eod|tomorrow)((?:\s*[+-]\s*\d*[a-z]+)*)$"
+)
+_TERM_RE = _re.compile(r"([+-])\s*(\d*)([a-z]+)")
+
+
+def _now_unix() -> float:
+    import time as _time
+    return NOW_UNIX if NOW_UNIX is not None else _time.time()
+
+
+def _duration_seconds(s: str) -> float | None:
+    """Counted duration string ("6week", "12hour") -> seconds; None when the
+    string is a bare calendar unit (date_trunc handles those); error on
+    counted calendar units (no fixed second width)."""
+    m = _re.fullmatch(r"(\d*)([a-z]+)", s.strip().lower())
+    if not m:
+        return None
+    n, unit = m.groups()
+    if not n:
+        return None  # bare unit: calendar path
+    if unit in _CALENDAR_MONTHS:
+        raise ValueError(f"counted calendar duration not supported: {s!r}")
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unknown duration unit: {s!r}")
+    return int(n) * _UNIT_SECONDS[unit]
+
+
 def _parse_date_unix(s) -> float:
-    """Date literal -> unix seconds (DateOp stores Date(...).unix)."""
+    """Date literal -> unix seconds (DateOp stores Date(...).unix).
+
+    Forms per mo_times/dates.py:272-434: numeric unix (ms when >1e10),
+    now/today/eod/tomorrow, relative expressions ("now-7day",
+    "today+2week"), ISO-8601 with zone offset, and the plain formats."""
     if isinstance(s, (int, float)):
-        return float(s)
-    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        # WAY TOO BIG for a unix timestamp -> it was milliseconds (dates.py:282)
+        return float(s) / 1000.0 if s > 9999999999 else float(s)
+    v = s.strip().lower()
+    if v.replace(".", "", 1).isdigit() and len(v) in (9, 10, 12, 13):
+        return _parse_date_unix(float(v))
+    m = _REL_RE.match(v)
+    if m:
+        base, terms = m.groups()
+        now = _now_unix()
+        u = {
+            "now": now,
+            "today": (now // 86400) * 86400,
+            "eod": (now // 86400) * 86400 + 86400,
+            "tomorrow": (now // 86400) * 86400 + 86400,
+        }[base]
+        for sign, dig, unit in _TERM_RE.findall(terms or ""):
+            n = int(dig) if dig else 1
+            if sign == "-":
+                n = -n
+            if unit in _CALENDAR_MONTHS:
+                d = _dt.datetime.fromtimestamp(u, _dt.timezone.utc)
+                d = _month_add(d, n * _CALENDAR_MONTHS[unit])
+                u = d.timestamp()
+            elif unit in _UNIT_SECONDS:
+                u += n * _UNIT_SECONDS[unit]
+            else:
+                raise ValueError(f"unknown duration unit in date: {s!r}")
+        return u
+    try:  # ISO-8601, incl. zone offsets and 'Z'
+        d = _dt.datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return d.timestamp()
+    except ValueError:
+        pass
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y-%m-%dT%H:%M:%S",
+                "%Y-%m-%dT%H:%M:%S.%f", "%d%b%Y", "%d-%b-%Y"):
         try:
-            d = _dt.datetime.strptime(s, fmt).replace(tzinfo=_dt.timezone.utc)
+            d = _dt.datetime.strptime(s.strip(), fmt).replace(tzinfo=_dt.timezone.utc)
             return d.timestamp()
         except ValueError:
             continue
     raise ValueError(f"cannot parse date literal: {s!r}")
+
+
+def _time_bound(b) -> _dt.datetime:
+    """Bound literal -> naive-UTC datetime for a timestamp comparison."""
+    return _dt.datetime.fromtimestamp(_parse_date_unix(b), _dt.timezone.utc).replace(
+        tzinfo=None
+    )
 
 
 _CMP = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
@@ -268,6 +356,24 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
             F.filter(F.array(*[compile_expr(a, env) for a in args]),
                      lambda x: x.isNotNull())
         )
+    if op == "rows":
+        # relative-row access rows[rownum + offset].v inside a window clause
+        # (RowsOp, jx_base/expressions.py:384-409) -> lag/lead over the
+        # window's partition+sort
+        w = (env or {}).get("__window__")
+        if w is None:
+            raise ValueError('{"rows": ...} is only valid inside a window clause')
+        if isinstance(args, dict):
+            ((v, off),) = args.items()
+        else:
+            v, off = args[0], args[1]
+        c = compile_expr(v, env)
+        off = int(off)
+        if off < 0:
+            return F.lag(c, -off).over(w)
+        if off > 0:
+            return F.lead(c, off).over(w)
+        return c
     if op == "unix":
         return F.unix_timestamp(compile_expr(args, env))
     if op == "from_unix":
@@ -318,7 +424,8 @@ def _collect_vars(node: Any, out: set) -> None:
                 continue
             if k in ("eq", "ne", "gt", "gte", "lt", "lte", "in", "between",
                      "prefix", "suffix", "find", "left", "right", "not_left",
-                     "not_right", "split", "regex", "range") and isinstance(v, dict):
+                     "not_right", "split", "regex", "range",
+                     "rows") and isinstance(v, dict):
                 out.update(v.keys())  # dict-form: keys are variables
             else:
                 _collect_vars(v, out)
@@ -410,14 +517,29 @@ def _domain_expr(edge: dict, env: dict | None = None) -> Column:
         interval = dom.get("interval", "day")
         lo, hi = dom.get("min"), dom.get("max")
         if isinstance(interval, str):
-            binned = F.date_trunc(interval, value)
+            secs = _duration_seconds(interval)
+            if secs is None:  # calendar unit: date_trunc
+                binned = F.date_trunc(interval, value)
+            else:  # counted duration ("6week"): numeric floor on unix secs
+                binned = F.from_unixtime(
+                    F.floor(F.unix_timestamp(value) / secs) * secs
+                ).cast("timestamp")
+            ts = value
+            conv = lambda b: F.lit(_time_bound(b)).cast("timestamp")  # noqa: E731
         else:
             binned = F.floor(F.unix_timestamp(value) / interval) * interval
-        if lo is not None and hi is not None:
-            ts = value if isinstance(interval, str) else F.unix_timestamp(value)
-            lo_c = F.lit(lo).cast("timestamp") if isinstance(interval, str) else F.lit(lo)
-            hi_c = F.lit(hi).cast("timestamp") if isinstance(interval, str) else F.lit(hi)
-            binned = F.when((ts >= lo_c) & (ts < hi_c), binned)
+            ts = F.unix_timestamp(value)
+            conv = lambda b: F.lit(_parse_date_unix(b))  # noqa: E731
+        # each bound applies INDEPENDENTLY (mirrors the numeric domain; a
+        # one-sided time edge must still null-bucket out-of-domain rows)
+        bound = None
+        if lo is not None:
+            bound = ts >= conv(lo)
+        if hi is not None:
+            b = ts < conv(hi)
+            bound = b if bound is None else (bound & b)
+        if bound is not None:
+            binned = F.when(bound, binned)
         return binned
     raise ValueError(f"unsupported domain type: {typ}")
 
@@ -434,6 +556,22 @@ def _month_add(d: _dt.datetime, n: int) -> _dt.datetime:
     return d.replace(year=d.year + m // 12, month=m % 12 + 1)
 
 
+def _interval_parts(lo, hi, interval) -> list:
+    """Bucket values as the single multiply ``k * interval`` — the SAME
+    float64 each bucket's rows produce via floor(value/interval)*interval.
+    Repeated addition drifts (0.1 added 8 times = 0.7999999999999999 vs
+    8*0.1 = 0.8) and silently breaks the eqNullSafe dense join."""
+    import math
+
+    k, out = math.floor(lo / interval), []
+    while True:
+        v = k * interval
+        if v >= hi:
+            return out
+        out.append(v)
+        k += 1
+
+
 def _domain_parts(edge: dict):
     """Materialized domain partitions (python values) for DENSE output, or
     None when the domain is unbounded/sparse (SimpleSetDomain from data)."""
@@ -445,28 +583,30 @@ def _domain_parts(edge: dict):
     if lo is None or hi is None:
         return None
     if typ in ("range", "numeric"):
-        interval = dom.get("interval", 1)
-        out, v = [], lo - (lo % interval)
-        while v < hi:
-            out.append(v)
-            v += interval
-        return out
+        return _interval_parts(lo, hi, dom.get("interval", 1))
     if typ in ("time", "duration"):
         interval = dom.get("interval", "day")
         if isinstance(interval, (int, float)):
-            out, v = [], lo - (lo % interval)
-            while v < hi:
-                out.append(v)
-                v += interval
-            return out
-        start = _dt.datetime.strptime(str(lo)[:10], "%Y-%m-%d")
-        end = _dt.datetime.strptime(str(hi)[:10], "%Y-%m-%d")
+            return _interval_parts(lo, hi, interval)
+        secs = _duration_seconds(interval)
+        if secs is not None:
+            # counted duration ("6week"): buckets on the numeric unix grid,
+            # emitted as the timestamps the binning expression produces
+            lo_u, hi_u = _parse_date_unix(lo), _parse_date_unix(hi)
+            return [
+                _dt.datetime.fromtimestamp(u, _dt.timezone.utc).replace(tzinfo=None)
+                for u in _interval_parts(lo_u, hi_u, secs)
+            ]
+        start, end = _time_bound(lo), _time_bound(hi)
         step = {"day": _dt.timedelta(days=1), "hour": _dt.timedelta(hours=1),
+                "minute": _dt.timedelta(minutes=1),
+                "second": _dt.timedelta(seconds=1),
                 "week": _dt.timedelta(weeks=1)}.get(interval)
+        months = _CALENDAR_MONTHS.get(interval)
         out, v = [], start
         while v < end:
             out.append(v)
-            v = _month_add(v, 1) if interval == "month" else v + step
+            v = _month_add(v, months) if months else v + step
         return out
     return None
 
@@ -522,6 +662,9 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
             )
             if "sort" in win:
                 w = w.orderBy(*_sort_cols(win["sort"], env))
+            # order-only spec for relative-row ops (lag/lead reject frames)
+            env_w = dict(env or {})
+            env_w["__window__"] = w
             rng = win.get("range")
             if rng:
                 # jx range max is EXCLUSIVE (jx.py:1003-1008 iterates
@@ -531,8 +674,13 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
                     rng.get("min", W.unboundedPreceding),
                     (hi - 1) if hi is not None else 0,
                 )
+            val = compile_expr(win["value"], env_w) if "value" in win else None
+            if "aggregate" not in win and val is not None:
+                # no aggregate: the value IS the window output (RowsOp-style
+                # relative-row expressions, jx_python/windows.py:40-76)
+                df = df.withColumn(win["name"], val)
+                continue
             agg = win.get("aggregate", "count")
-            val = compile_expr(win["value"], env) if "value" in win else None
             if "where" in win and val is not None:
                 # window where: only matching rows CONTRIBUTE to the
                 # accumulator (jx_base/query.py:605 window slot)

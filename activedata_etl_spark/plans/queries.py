@@ -744,6 +744,46 @@ ORDER BY month NULLS FIRST
 """
 
 
+def q29_window_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """jx-lite RowsOp: {"rows": [v, offset]} inside a window clause compiles
+    to lag/lead (jx_base/expressions.py:384-409) — q19's per-user delta, but
+    expressed through the jx window clause instead of direct DataFrame code."""
+    from activedata_etl_spark.plans import jx
+
+    e = _t(spark, sf, "events")
+    return jx.run(
+        {
+            "from": "t",
+            "where": {"lt": {"user_id": 50}},
+            "window": [
+                {"name": "prev_value", "edges": ["user_id"],
+                 "sort": ["ts", "event_id"], "value": {"rows": ["value", -1]}},
+                {"name": "next_type", "edges": ["user_id"],
+                 "sort": ["ts", "event_id"], "value": {"rows": ["event_type", 1]}},
+            ],
+            "select": [
+                "user_id", "event_id",
+                {"name": "delta_prev",
+                 "value": {"script": "round(value - prev_value, 6)"}},
+                "next_type",
+            ],
+            "sort": ["user_id", "event_id"],
+            "limit": None,
+        },
+        {"t": e},
+    )
+
+
+ORACLE_Q29 = """
+SELECT user_id, event_id,
+       round(value - lag(value, 1) OVER w, 6) AS delta_prev,
+       lead(event_type, 1) OVER w AS next_type
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
 # typed_json_props: the props column is flat {"k": <int>} JSON, so the sigil
 # encoding (vendor/mo_json/typed_encoder.py:132-362) is reconstructible in
 # ANSI SQL — closing the round-1 no_oracle gap for this query
@@ -966,7 +1006,7 @@ SELECT doc_id,
        round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 6) AS punct_r,
        round(len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1), 6) AS digit_r,
        round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a|that|it|for)\\b'))
-             / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stop_r
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS stop_r
 FROM documents ORDER BY doc_id
 """
 
@@ -1123,6 +1163,7 @@ SPARK_QUERIES = {
     "q26_nested_dive": q26_nested_dive,
     "q27_count_values": q27_count_values,
     "q28_edges_dense_time": q28_edges_dense_time,
+    "q29_window_rows": q29_window_rows,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
@@ -1169,6 +1210,7 @@ ORACLE_SQL = {
     "q26_nested_dive": ORACLE_Q26,
     "q27_count_values": ORACLE_Q27,
     "q28_edges_dense_time": ORACLE_Q28,
+    "q29_window_rows": ORACLE_Q29,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,

@@ -63,12 +63,17 @@ def write_bulk_files(
     batch_size: int = 5000,
 ) -> None:
     """Render `_bulk` bodies as text part-files: alternating action/source
-    lines, ``batch_size`` docs per POST-able chunk (the reference's default
-    batch, `rollover_index.py:45` / push_to_es settings).  Partition sizing
-    = one part-file per ~batch, so each file IS one bulk request body."""
+    lines, at most ``batch_size`` docs per POST-able chunk (the reference's
+    default batch, `rollover_index.py:45` / push_to_es settings).
+
+    ``maxRecordsPerFile`` enforces the one-file-is-one-POST-able-bulk
+    contract EXACTLY (<= batch_size docs per file) in the writer itself —
+    no sizing ``count()`` (a full extra input scan) and no repartition
+    (hash distribution only approximates per-file counts, so files could
+    exceed the batch)."""
     lines = bulk_action_lines(df, id_cols=id_cols, version_cols=version_cols)
     body = lines.select(
         F.concat_ws("\n", "action_line", "source_line").alias("value")
     )
-    n = max(1, body.count() // batch_size)
-    body.repartition(n).write.mode("overwrite").text(out_dir)
+    (body.write.mode("overwrite")
+     .option("maxRecordsPerFile", batch_size).text(out_dir))

@@ -354,6 +354,157 @@ def test_nested_array_dive(spark):
     assert [(r["id"], r["x"]) for r in out2.collect()] == [(1, 5), (1, 7), (2, 9)]
 
 
+def test_edges_dense_float_interval(spark):
+    """Non-integer interval: bucket values must come from the SAME single
+    multiply (k*interval) the binning expression uses — repeated float
+    addition (0.1 added 8 times = 0.7999999999999999) silently dropped
+    observed groups from the dense join."""
+    df = spark.createDataFrame(
+        [(0.05,), (0.85,), (0.85,), (0.31,)], "v double"
+    )
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "b", "value": "v",
+                       "domain": {"type": "range", "interval": 0.1,
+                                  "min": 0.0, "max": 1.0}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "b",
+        },
+        {"t": df},
+    )
+    got = {r["b"]: r["n"] for r in out.collect()}
+    assert got[0.8] == 2          # the drift victim: 8*0.1 bucket
+    assert got[0.30000000000000004] == 1  # float64 3*0.1, same on both sides
+    assert sum(got.values()) == 4
+    assert len(got) == 11         # 10 buckets + null bucket, all present
+
+
+def test_time_domain_one_sided_bound(spark):
+    """Time edge with only min (or only max): the bound must still apply
+    (out-of-domain rows -> null bucket), mirroring the numeric domain."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 5),), (dt.datetime(2024, 2, 7),),
+         (dt.datetime(2023, 12, 30),)],
+        "ts timestamp",
+    )
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "m", "value": "ts",
+                       "domain": {"type": "time", "interval": "month",
+                                  "min": "2024-01-01"}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "m",
+        },
+        {"t": df},
+    )
+    got = [(r["m"], r["n"]) for r in out.collect()]
+    assert got[0] == (None, 1)  # 2023-12-30 is below min -> null bucket
+    assert len(got) == 3
+
+    out2 = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "m", "value": "ts",
+                       "domain": {"type": "time", "interval": "month",
+                                  "max": "2024-02-01"}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "m",
+        },
+        {"t": df},
+    )
+    got2 = [(r["m"], r["n"]) for r in out2.collect()]
+    assert got2[0] == (None, 1)  # 2024-02-07 is past max -> null bucket
+    assert len(got2) == 3
+
+
+def test_date_literal_forms():
+    """mo_times literal breadth (dates.py:272-434): numeric/milli unix,
+    ISO with zone, now/today/eod relative expressions."""
+    jx.NOW_UNIX = 1706750000.0  # 2024-02-01 01:13:20 UTC
+    try:
+        p = jx._parse_date_unix
+        assert p(1704067200) == 1704067200.0
+        assert p(1704067200000) == 1704067200.0          # ms heuristic
+        assert p("1704067200") == 1704067200.0           # digit string
+        assert p("2024-01-01T00:00:00Z") == 1704067200.0
+        assert p("2024-01-01T02:00:00+02:00") == 1704067200.0
+        assert p("2024-01-01T00:00:00.500Z") == 1704067200.5
+        assert p("now") == 1706750000.0
+        assert p("today") == 1706745600.0                # floor to day
+        assert p("eod") == p("tomorrow") == 1706832000.0
+        assert p("now-7day") == 1706750000.0 - 7 * 86400
+        assert p("today+2week") == 1706745600.0 + 14 * 86400
+        assert p("now-hour") == 1706750000.0 - 3600      # implicit count 1
+        assert p("today-month") == 1704067200.0          # calendar month
+        assert p("now - 1day + 2hour") == 1706750000.0 - 86400 + 7200
+    finally:
+        jx.NOW_UNIX = None
+
+
+def test_duration_seconds():
+    assert jx._duration_seconds("6week") == 6 * 604800
+    assert jx._duration_seconds("12hour") == 12 * 3600
+    assert jx._duration_seconds("day") is None        # bare unit: calendar
+    with pytest.raises(ValueError):
+        jx._duration_seconds("3month")                # no fixed width
+
+
+def test_counted_duration_time_domain(spark):
+    """"2day" interval: numeric floor on the unix grid, dense output."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5),), (dt.datetime(2024, 1, 2, 5),),
+         (dt.datetime(2024, 1, 4, 1),)],
+        "ts timestamp",
+    )
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "b", "value": "ts",
+                       "domain": {"type": "time", "interval": "2day",
+                                  "min": "2024-01-01", "max": "2024-01-07"}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "b",
+        },
+        {"t": df},
+    )
+    got = [(r["b"], r["n"]) for r in out.collect()]
+    # 2-day grid from epoch: 2023-12-31, 2024-01-02, 2024-01-04, 2024-01-06
+    # all buckets intersecting [min, max) materialize; the 01-06 one is empty
+    assert [n for _, n in got] == [0, 1, 1, 1, 0]
+    assert got[0][0] is None
+
+
+def test_window_rows_op(frames):
+    """RowsOp {"rows": [v, offset]} -> lag/lead inside a window clause
+    (jx_base/expressions.py:384-409)."""
+    out = jx.run(
+        {
+            "from": "t",
+            "window": [
+                {"name": "prev_i", "edges": ["g"], "sort": "i",
+                 "value": {"rows": ["i", -1]}},
+                {"name": "next_i", "edges": ["g"], "sort": "i",
+                 "value": {"rows": {"i": 1}}},   # dict simple form
+            ],
+            "select": ["g", "i", "prev_i", "next_i"],
+            "sort": ["g", "i"],
+        },
+        frames,
+    )
+    got = [(r["g"], r["i"], r["prev_i"], r["next_i"]) for r in out.collect()]
+    assert got == [("x", 1, None, 3), ("x", 3, 1, None),
+                   ("y", 2, None, 4), ("y", 4, 2, None), ("z", 5, None, None)]
+    # rows outside a window clause is an error
+    with pytest.raises(ValueError):
+        jx.compile_expr({"rows": ["i", -1]})
+
+
 def test_jx_query_over_converged_lake_table(spark, tmp_path):
     """End-to-end: journal -> CDC replay -> SnapshotTable -> jx-lite query,
     verified against a pandas aggregation of the same converged state."""

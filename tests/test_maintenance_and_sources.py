@@ -144,6 +144,75 @@ def test_rollover_sink_routing_and_expiry(spark, tmp_path):
     assert {r["id"] for r in sink.read().collect()} == {1, 2}
 
 
+def test_rollover_write_is_single_scan(spark, tmp_path):
+    """The routed write must be ONE job (Observation rides the live write);
+    a second scan happens only when too-old rows need quarantining — the old
+    shape (count + quarantine write + live write) was three."""
+    import datetime as dt
+
+    from activedata_etl_spark.lake.rollover import RolloverSink
+
+    sink = RolloverSink(
+        spark, str(tmp_path / "roll1"), rollover_field="ts",
+        rollover_interval="month", rollover_max=dt.timedelta(days=120),
+        now=dt.datetime(2024, 6, 15),
+    )
+    fresh = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1)), (2, dt.datetime(2024, 5, 20))],
+        "id long, ts timestamp",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("roll_clean", "")
+    try:
+        s = sink.write(fresh)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert s["rejected_too_old"] == 0
+    assert len(sc.statusTracker().getJobIdsForGroup("roll_clean")) == 1
+
+    with_old = spark.createDataFrame(
+        [(3, dt.datetime(2024, 6, 2)), (4, dt.datetime(2023, 1, 1))],
+        "id long, ts timestamp",
+    )
+    sc.setJobGroup("roll_old", "")
+    try:
+        s = sink.write(with_old)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert s["rejected_too_old"] == 1
+    assert len(sc.statusTracker().getJobIdsForGroup("roll_old")) == 2
+    assert {r["id"] for r in sink.read().collect()} == {1, 2, 3}
+
+
+def test_bulk_files_respect_batch_contract(spark, tmp_path):
+    """Every part file holds <= batch_size docs (one file = one POST-able
+    bulk body) with NO sizing count(): 9999 docs at batch 5000 used to land
+    in one 9999-doc file via floor division, after a full extra scan."""
+    import glob
+
+    from activedata_etl_spark.sinks.es_bulk import write_bulk_files
+
+    df = spark.range(9999).select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.col("id").alias("commit_seq"),
+        F.lit(0).alias("offset"),
+    )
+    out = str(tmp_path / "bulk9999")
+    sc = spark.sparkContext
+    sc.setJobGroup("bulk_write", "")
+    try:
+        write_bulk_files(df, out, batch_size=5000)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("bulk_write")) == 1
+    counts = [
+        sum(1 for _ in open(f)) // 2 for f in glob.glob(out + "/part-*")
+    ]
+    assert sum(counts) == 9999
+    assert max(counts) <= 5000
+
+
 def _git_diff(path_a, path_b, a_text, b_text, extra_header=None):
     import difflib
 

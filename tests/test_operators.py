@@ -265,6 +265,35 @@ def test_near_dup_clusters_connected_components(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_near_dup_clusters_raises_on_non_convergence(spark):
+    """Exiting at max_iter with labels still moving = silently-wrong cluster
+    ids (chain deeper than the round budget) — must fail loudly."""
+    from activedata_etl_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iter=1)
+    got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(chain).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_ivf_train_fraction_guard(spark, emb):
+    """KMeans training is capped at ~max_train rows by default — full-corpus
+    training would pay max_iter full scans at 10^8 vectors."""
+    from activedata_etl_spark.operators import similarity as S
+
+    assert S._train_fraction(1_000, 100_000) == 1.0
+    assert S._train_fraction(10_000_000, 100_000) == pytest.approx(0.01)
+    # the sampled path still trains and answers (determinism via seed)
+    q = emb.where(F.col("vec_id") < 3)
+    out = S.ivf_ann_topk(emb, q, k=3, n_centroids=4, n_probe=2, max_train=40)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r["query_id"] for r in rows} <= {0, 1, 2}
+
+
 def test_ivf_blas_path_matches_catalyst_path(spark, emb):
     """Past the literal threshold the IVF assignment switches to the Arrow
     BLAS kernel — both paths must produce identical results for the same
