@@ -124,7 +124,21 @@ def _encode_key(k: str) -> str:
     return k.replace(".", ",")
 
 
-def _typed(value):
+_CONTAINERS = (dict, list, tuple)
+
+
+def _typed(value, path: tuple = (), nested: frozenset = frozenset(),
+           in_array: bool = False):
+    """One value -> typed-JSON structure (typed_encoder.py:130-330 semantics).
+
+    ``nested`` is the set of column paths with array history (the
+    ``sub_schema[NESTED_TYPE]`` analog): a dict (or single-element array) at
+    such a path PROMOTES to a one-element nested array — "PREFER NESTED,
+    WHEN SEEN BEFORE" (:184-193).  Paths are logical dot paths (the ~N~ hops
+    the reference threads through sub_schema are transparent here: promotion
+    is decided per column, deterministically, independent of row order —
+    the streaming reference mutates its schema in encounter order instead).
+    """
     if value is None:
         return None
     if isinstance(value, bool):
@@ -136,34 +150,117 @@ def _typed(value):
     if isinstance(value, dict):
         out = {EXISTS_TYPE: 1}
         for k in sorted(value.keys()):  # key sort: typed_encoder.py:411
-            enc = _typed(value[k])
+            enc = _typed(value[k], path + (k,), nested)
             if enc is not None:
                 out[_encode_key(k)] = enc
+        if path in nested and not in_array:
+            # PREFER NESTED, WHEN SEEN BEFORE: single object -> one-element
+            # nested array; ~e~ carries the raw key count (:184-193).
+            # Objects already INSIDE an array encode against the array's
+            # sub-schema (:190) — no re-promotion
+            return {NESTED_TYPE: [out], EXISTS_TYPE: len(value)}
         return out
     if isinstance(value, (list, tuple)):
-        items = [_typed(v) for v in value]
-        items = [v for v in items if v is not None]
-        # arrays nest under ~N~ with existence count under ~e~
-        return {EXISTS_TYPE: len(items), NESTED_TYPE: items}
+        if len(value) == 0:
+            return {EXISTS_TYPE: 0}  # :259-261
+        if any(isinstance(v, _CONTAINERS) for v in value):
+            if len(value) == 1 and path not in nested:
+                # NO NEED TO NEST, SO DO NOT DO IT (:266-274)
+                return _typed(value[0], path, nested)
+            items = [_typed(v, path, nested, in_array=True) for v in value]
+            return {NESTED_TYPE: [v for v in items if v is not None],
+                    EXISTS_TYPE: len(value)}
+        # ALLOW PRIMITIVE MULTIVALUES (:284-301): same-type scalars stay a
+        # bare list under the scalar sigil, no ~N~
+        vals = [v for v in value if v is not None and v != ""]
+        if not vals:
+            return {NESTED_TYPE: []}  # Nones only (:287-289)
+        enc = [_typed(v, path, nested) for v in vals]
+        types = {next(iter(e)) for e in enc}
+        if len(types) == 1:
+            sigil = types.pop()
+            inner = [e[sigil] for e in enc]
+            return {sigil: inner[0] if len(inner) == 1 else inner}
+        # mixed scalar types: the reference's emission here is malformed
+        # (bare list + clobbered sibling ~e~, :290-291); keep the
+        # well-formed nested shape instead
+        return {NESTED_TYPE: enc, EXISTS_TYPE: len(vals)}
     return {STRING_TYPE: str(value)}
+
+
+def _encode_doc(s, nested: frozenset = frozenset()):
+    if s is None or s == "":
+        return None
+    try:
+        v = json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    return json.dumps(
+        _typed(v, (), nested), sort_keys=True, separators=(",", ":")
+    )
 
 
 @pandas_udf(T.StringType())
 def typed_encode_udf(js: pd.Series) -> pd.Series:
-    """JSON string -> typed-JSON string (sigil-wrapped, key-sorted).
-
-    Arrow-vectorized: one Python invocation per batch, not per row.
+    """JSON string -> typed-JSON string (sigil-wrapped, key-sorted) with no
+    array history (schema-stateless).  Arrow-vectorized: one Python
+    invocation per batch, not per row.
     """
-    def enc(s):
-        if s is None or s == "":
-            return None
-        try:
-            v = json.loads(s)
-        except (ValueError, TypeError):
-            return None
-        return json.dumps(_typed(v), sort_keys=True, separators=(",", ":"))
+    return js.map(_encode_doc)
 
-    return js.map(enc)
+
+def _array_paths(value, path: tuple = (), out: set | None = None) -> set:
+    """Dot paths where a value carries a REAL array (>= 2 elements with a
+    container among them) — exactly the shapes that set
+    ``sub_schema[NESTED_TYPE]`` in the reference (:276-281); single-element
+    arrays and primitive multivalues do NOT create history."""
+    if out is None:
+        out = set()
+    if isinstance(value, dict):
+        for k, v in value.items():
+            _array_paths(v, path + (k,), out)
+    elif isinstance(value, (list, tuple)):
+        if len(value) >= 2 and any(isinstance(v, _CONTAINERS) for v in value):
+            out.add(path)
+        for v in value:
+            _array_paths(v, path, out)
+    return out
+
+
+def typed_encode_stateful(df: DataFrame, col: str, out_col: str = "typed") -> DataFrame:
+    """Schema-stateful typed encode: pass 1 discovers which column paths have
+    array history across the WHOLE input (the net-new-properties analog,
+    typed_encoder.py:136), pass 2 encodes with PREFER-NESTED promotion for
+    those paths.  Deterministic where the reference is encounter-order-
+    dependent: every row of a column with array history gets the promoted
+    shape, so the encoding is a pure function of the dataset.
+
+    The discovered path set is schema-sized (not data-sized): the collect is
+    a distinct over column paths, safe at any corpus scale.
+    """
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def paths_udf(js: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None or s == "":
+                return []
+            try:
+                v = json.loads(s)
+            except (ValueError, TypeError):
+                return []
+            return ["\x00".join(p) for p in _array_paths(v)]
+
+        return js.map(one)
+
+    seen = frozenset(
+        tuple(r[0].split("\x00"))
+        for r in df.select(F.explode(paths_udf(F.col(col)))).distinct().collect()
+    )
+
+    @pandas_udf(T.StringType())
+    def enc_udf(js: pd.Series) -> pd.Series:
+        return js.map(lambda s: _encode_doc(s, seen))
+
+    return df.withColumn(out_col, enc_udf(F.col(col)))
 
 
 def _untyped(value):
@@ -175,7 +272,9 @@ def _untyped(value):
         return [_untyped(v) for v in value[NESTED_TYPE]]
     for sigil in (BOOLEAN_TYPE, NUMBER_TYPE, STRING_TYPE):
         if sigil in value:
-            return value[sigil]
+            return value[sigil]  # scalar OR bare multivalue list
+    if set(value) == {EXISTS_TYPE} and value[EXISTS_TYPE] == 0:
+        return []  # empty array encodes as {"~e~":0}
     out = {}
     for k, v in value.items():
         if k == EXISTS_TYPE:
@@ -189,7 +288,9 @@ def typed_decode_udf(js: pd.Series) -> pd.Series:
     """typed-JSON string -> plain JSON string: the decode half of the
     round-trip (encode is one-way without this).  ``decode(encode(x)) == x``
     for JSON without empty-string/None leaves (those are MISSING by mo_dots
-    semantics and are dropped at encode time)."""
+    semantics and are dropped at encode time) and without single-element
+    container arrays (those unwrap at encode time — "NO NEED TO NEST",
+    typed_encoder.py:266-274 — by reference design)."""
     def dec(s):
         if s is None or s == "":
             return None

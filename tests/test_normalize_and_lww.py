@@ -59,6 +59,64 @@ def test_typed_encode_golden(spark):
     assert got[4] is None
 
 
+def test_typed_encode_list_shapes(spark):
+    """Reference list semantics (typed_encoder.py:259-301): empty array ->
+    {"~e~":0}; single-element container array unwraps (NO NEED TO NEST);
+    same-type primitive multivalue stays a bare list under its sigil."""
+    docs = [
+        json.dumps({"a": []}),
+        json.dumps({"a": [{"z": 1}]}),
+        json.dumps({"a": [1, 2, 3]}),
+        json.dumps({"a": [5]}),
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "js string")
+    got = [json.loads(r[0]) for r in df.select(typed_encode_udf("js")).collect()]
+    assert got[0] == {"~e~": 1, "a": {"~e~": 0}}
+    assert got[1] == {"~e~": 1, "a": {"~e~": 1, "z": {"~n~": 1}}}  # unwrapped
+    assert got[2] == {"~e~": 1, "a": {"~n~": [1, 2, 3]}}          # multivalue
+    assert got[3] == {"~e~": 1, "a": {"~n~": 5}}
+
+
+def test_typed_encode_prefer_nested_promotion(spark):
+    """PREFER NESTED, WHEN SEEN BEFORE (typed_encoder.py:184-193): a column
+    with array history promotes single objects to one-element nested arrays
+    (~e~ carries the raw key count); columns without history are untouched."""
+    from activedata_etl_spark.functions.normalize import typed_encode_stateful
+
+    docs = [
+        (1, json.dumps({"a": [{"z": 1}, {"z": 2}], "b": {"y": 9}})),
+        (2, json.dumps({"a": {"z": 3}, "b": {"y": 8, "w": 7}})),
+        (3, json.dumps({"a": [{"z": 4}]})),
+    ]
+    df = spark.createDataFrame(docs, "id long, js string")
+    out = typed_encode_stateful(df, "js").orderBy("id")
+    got = [json.loads(r["typed"]) for r in out.collect()]
+    # row 1: real array -> nested as usual
+    assert got[0]["a"] == {"~e~": 2, "~N~": [{"~e~": 1, "z": {"~n~": 1}},
+                                             {"~e~": 1, "z": {"~n~": 2}}]}
+    # row 2: single dict at a column WITH array history -> PROMOTED
+    assert got[1]["a"] == {"~e~": 1, "~N~": [{"~e~": 1, "z": {"~n~": 3}}]}
+    # ...while column b (no array history anywhere) stays a plain object
+    assert got[1]["b"] == {"~e~": 1, "y": {"~n~": 8}, "w": {"~n~": 7}}
+    # row 3: single-element array at a column WITH history -> stays nested
+    # (the stateless encoder would have unwrapped it)
+    assert got[2]["a"] == {"~e~": 1, "~N~": [{"~e~": 1, "z": {"~n~": 4}}]}
+
+
+def test_typed_decode_new_shapes(spark):
+    from activedata_etl_spark.functions.normalize import typed_decode_udf
+
+    docs = [
+        json.dumps({"a": []}, separators=(",", ":")),
+        json.dumps({"a": [1, 2, 3]}, separators=(",", ":")),
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "js string")
+    enc = df.select(typed_encode_udf("js").alias("t"))
+    dec = [json.loads(r[0]) for r in enc.select(typed_decode_udf("t")).collect()]
+    assert dec[0] == {"a": []}
+    assert dec[1] == {"a": [1, 2, 3]}
+
+
 def test_lww_strategies_agree(spark):
     j = journal_df(spark, 2048)
     a = lww_reduce(j).orderBy("repo", "path").toPandas()
