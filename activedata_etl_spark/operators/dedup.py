@@ -15,18 +15,53 @@ Scale notes (10^10 docs):
   reasoning as the salted LWW reduce);
 - minhash-LSH: signature agg + band-bucket equi-join, candidates then
   verified exactly — the classic sub-quadratic path;
-- simhash: 63-bit signature; pigeonhole banding on max_hamming+1 chunks
-  makes hamming<=max_hamming candidates equi-join-able with no recall loss;
+- simhash: 63-bit signature; block-permutation banding (every (B-h)-subset
+  of B blocks) keeps exact recall while carrying multi-block band keys —
+  vs naive h+1-chunk pigeonhole, ~10x fewer random collisions at h=8 and
+  ~2^23x at h=3; optional per-bucket frequency cap bounds adversarial
+  corpora;
 - embedding near-dup: block×block tiling via applyInPandas — per-task
   memory O(corpus/n_blocks), no driver collect, no broadcast.
 """
 
 from __future__ import annotations
 
+import itertools as _it
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\S+"
+
+# --- the "mix31" hash family: ANSI-SQL-expressible, engine-portable --------
+# base60(s) = first 15 hex chars of sha256(s) as int64 (< 2^60), then the
+# classic universal family u_i(x) = (a_i * (x mod P) + c_i) mod P over the
+# Mersenne prime P = 2^31 - 1.  Every intermediate stays < 2^62, so the SAME
+# arithmetic runs overflow-free as Spark long expressions AND DuckDB BIGINT
+# SQL — which makes hash-defined operators (minhash, simhash) ORACLE-
+# CHECKABLE.  xxhash64 stays the fast default (one JVM hash vs sha256).
+MIX_P = 2_147_483_647
+
+
+def mix_consts(seed: int, n: int) -> list[tuple[int, int]]:
+    """n deterministic (a, c) pairs in [1, P-1] x [0, P-1] via a Lehmer
+    LCG — driver-side only; the SAME constants are embedded in the Spark
+    expressions and in the DuckDB oracle SQL."""
+    state = (seed % MIX_P) or 1
+    out = []
+    for _ in range(n):
+        state = (state * 48271) % MIX_P
+        a = state
+        state = (state * 48271) % MIX_P
+        out.append((a or 1, state))
+    return out
+
+
+def base60(col) -> F.Column:
+    """sha256 prefix as int64 — identical in Spark and DuckDB:
+    Spark  conv(substring(sha2(x, 256), 1, 15), 16, 10)::long
+    DuckDB ('0x' || substr(sha256(x), 1, 15))::BIGINT"""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -128,28 +163,56 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64, seed: int = 7
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, k: int = 64,
+    seed: int = 7, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc, via xxhash64(shingle, i).
+    """k-permutation MinHash signature per doc.
 
     Computed with higher-order array functions (transform + array_min) so
     the signature is a per-ROW expression: no explode, no shuffle, no
     k-column aggregate — the doc table is scanned once and stays put.
     (The explode + groupBy(id).agg(64 mins) formulation was measured ~2x
     slower at sf0.1: it shuffles |doc|x|shingles| rows to re-group by id.)
+
+    hash_fn "xxhash64" (default): hash each shingle STRING once, then derive
+    the k permutations by hashing the resulting 8-byte long — xxhash64 over
+    8 bytes is ~4x cheaper than over a ~30-char shingle, so total hash work
+    drops from k string-hashes to 1 string-hash + k long-hashes per shingle.
+    hash_fn "mix31": sha256-prefix base + k universal-hash permutations
+    (a_i*x + c_i mod 2^31-1) — the classic MinHash family, reproducible in
+    ANSI SQL, making the LSH pipeline oracle-checkable.
     """
     sh = shingled(df, id_col, text_col, n)
-    # hash each shingle STRING once, then derive the k permutations by
-    # hashing the resulting 8-byte long — xxhash64 over 8 bytes is ~4x
-    # cheaper than over a ~30-char shingle, so total hash work drops from
-    # k string-hashes to 1 string-hash + k long-hashes per shingle
-    base = sh.withColumn(
-        "__bh", F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed)))
-    )
-    sig = F.array(*[
-        F.array_min(F.transform("__bh", lambda b, i=i: F.xxhash64(b, F.lit(seed + i))))
-        for i in range(k)
-    ])
+    # NOTE the closure helpers: a `lambda b, i=i:` two-parameter lambda is
+    # interpreted by pyspark's transform() as the (element, INDEX) form —
+    # the "captured" default silently becomes the array position and every
+    # permutation collapses to the same expression.  A one-parameter lambda
+    # from a factory captures the loop variable correctly.
+    if hash_fn == "xxhash64":
+        base = sh.withColumn(
+            "__bh", F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+        def perm(i):
+            return lambda b: F.xxhash64(b, F.lit(seed + i))
+
+        sig = F.array(*[
+            F.array_min(F.transform("__bh", perm(i))) for i in range(k)
+        ])
+    elif hash_fn == "mix31":
+        base = sh.withColumn(
+            "__bh", F.transform("sh", lambda s: base60(s) % MIX_P)
+        )
+
+        def perm31(a, c):
+            return lambda b: (b * a + c) % MIX_P
+
+        sig = F.array(*[
+            F.array_min(F.transform("__bh", perm31(a, c)))
+            for a, c in mix_consts(seed, k)
+        ])
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return base.select("id", sig.alias("signature"))
 
 
@@ -164,32 +227,54 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 7,
     verify_exact: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding + (optional) exact-Jaccard verification.
 
     bands of r = k/bands rows; docs colliding in any band are candidates
     (banded equi-join, never a cross join); candidates are then verified
     with the exact n-gram Jaccard so the output has no false positives.
+
+    Band-key physicality follows hash_fn: "xxhash64" compresses each band's
+    r values into one 8-byte key (narrowest shuffle — the 10^9-doc path);
+    "mix31" joins on the raw r-value tuple, so the candidate set is exactly
+    reproducible in the DuckDB oracle (a hashed key could, with vanishing
+    probability, admit a colliding candidate the oracle lacks).
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, seed=seed)
-    band_cols = [
-        F.xxhash64(
-            *[F.element_at("signature", b * r + j + 1) for j in range(r)], F.lit(b)
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, seed=seed,
+                             hash_fn=hash_fn)
+    if hash_fn == "mix31":
+        band_structs = F.array(*[
+            F.struct(*[
+                F.element_at("signature", b * r + j + 1).alias(f"v{j}")
+                for j in range(r)
+            ])
+            for b in range(bands)
+        ])
+        banded = sig.select(
+            "id", F.posexplode(band_structs).alias("band", "bs")
+        ).select("id", "band", "bs.*")
+        join_keys = ["band"] + [f"v{j}" for j in range(r)]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[F.element_at("signature", b * r + j + 1) for j in range(r)], F.lit(b)
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+        join_keys = ["band", "bh"]
     # ONE exchange, aligned with the band join keys: signatures are per-row
     # expressions (no shuffle of their own), so without this both self-join
     # sides would recompute the whole k-hash signature subtree; with it the
     # planner reuses a single shuffle (ReusedExchange) and the join is
     # co-partitioned — hashing happens exactly once per doc.
-    banded = banded.repartition(F.col("band"), F.col("bh"))
+    banded = banded.repartition(*[F.col(c) for c in join_keys])
     left = banded.withColumnsRenamed({"id": "id_a"})
     right = banded.withColumnsRenamed({"id": "id_b"})
     cand = (
-        left.join(right, ["band", "bh"])
+        left.join(right, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -212,20 +297,39 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, *, seed: int = 11) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, seed: int = 11,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """63-bit SimHash per doc (bit 63 kept clear to stay in signed long).
 
     One explode + one hash-agg with 63 conditional sums (all JVM-side);
     signature assembled from the per-bit majorities.
+
+    hash_fn: "xxhash64" (fast default — one JVM hash, bit b of the token
+    hash) or "mix31" (sha256-prefix + universal-hash parity per bit —
+    slower, but reproducible in ANSI SQL, so the operator is
+    oracle-checkable; see ``mix_consts``).
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok", F.lit(seed)))
+    )
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("th", F.xxhash64("tok", F.lit(seed)))
+        bit = [
+            F.col("th").bitwiseAND(F.lit(1 << b)) != 0 for b in range(63)
+        ]
+    elif hash_fn == "mix31":
+        toks = toks.withColumn("bm", base60(F.col("tok")) % MIX_P)
+        consts = mix_consts(seed, 63)
+        bit = [
+            ((F.col("bm") * a + c) % MIX_P) % 2 == 1 for a, c in consts
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     sums = [
-        F.sum(
-            F.when(F.col("th").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.when(bit[b], 1).otherwise(-1)).alias(f"s{b}")
         for b in range(63)
     ]
     per_doc = toks.groupBy("id").agg(*sums)
@@ -236,42 +340,142 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, seed: int = 11) -> Dat
     return per_doc.select("id", sig.cast("long").alias("simhash"))
 
 
+def _simhash_band_plan(max_hamming: int, max_bands: int = 64):
+    """Block-permutation (Manku-style) band layout with EXACT recall.
+
+    Split the 63 signature bits into B blocks and band on every
+    (B - h)-subset of blocks: a pair within hamming h dirties <= h blocks,
+    leaving >= B-h clean blocks, so at least one band (the all-clean subset)
+    matches — no recall loss, by pigeonhole.  B is the largest block count
+    with C(B, h) <= ``max_bands``.
+
+    Why not wider still: naive h+1-chunk pigeonhole (the B = h+1 degenerate
+    case of this layout) gives 63/(h+1)-bit keys — at h=8 that is 7 bits /
+    128 buckets, a ~n^2/128 candidate blowup on 10^9 docs.  Combining
+    blocks multiplies key entropy by k = B-h while band count grows as
+    C(B, h): h=8 -> B=10, 45 bands of ~12.6-bit keys (~10x fewer random
+    collisions per shuffled row); h=3 -> B=8, 56 bands of ~39-bit keys
+    (~2^23x fewer).  Returns (block bit offsets, list of block combos).
+    """
+    from math import comb
+
+    B = max_hamming + 1
+    while B < 16 and comb(B + 1, max_hamming) <= max_bands:
+        B += 1
+    starts = [63 * c // B for c in range(B + 1)]
+    combos = list(_it.combinations(range(B), B - max_hamming))
+    return starts, combos
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, seed: int = 11
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    seed: int = 11,
+    max_bands: int = 64,
+    max_band_freq: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding with NO recall loss: a pair within hamming h differs
-    in at most h chunks, so with h+1 chunks at least one chunk agrees —
-    candidates come from a per-chunk equi-join.  Chunk count is DERIVED from
-    ``max_hamming`` (a fixed 4-chunk split silently missed pairs whose 4-8
-    differing bits spread across all 4 chunks).
+    Candidates come from block-permutation banding (``_simhash_band_plan``:
+    exact recall, wide band keys) and are verified with the exact hamming
+    distance, so the output is precisely all pairs within ``max_hamming``.
+
+    ``max_band_freq`` is the web-scale skew guard (same discipline as the
+    Jaccard stop-shingle cap): band buckets holding more than N docs are
+    dropped from candidate generation.  It bounds candidates at
+    O(n * bands * freq) even on adversarial corpora, at the documented cost
+    of recall for pairs ONLY co-bucketed in hot buckets (near-identical
+    boilerplate floods).  Off by default — exact semantics.
     """
-    sig = simhash(df, id_col, text_col, seed=seed)
-    n_chunks = max_hamming + 1
-    width = -(-63 // n_chunks)  # ceil: 63 signature bits over h+1 chunks
-    mask = (1 << width) - 1
-    chunks = [
-        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias(f"c{c}")
-        for c in range(n_chunks)
-    ]
-    banded = sig.select("id", "simhash", F.posexplode(F.array(*chunks)).alias("chunk", "cv"))
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    sig = simhash(df, id_col, text_col, seed=seed, hash_fn=hash_fn)
+    return simhash_pairs_from_sigs(
+        sig, max_hamming=max_hamming, max_bands=max_bands,
+        max_band_freq=max_band_freq,
     )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+
+
+def simhash_pairs_from_sigs(
+    sig: DataFrame,
+    *,
+    max_hamming: int = 3,
+    max_bands: int = 64,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Banding + exact-hamming verify over an (id, simhash) frame."""
+    cand = _simhash_candidates(
+        sig, max_hamming=max_hamming, max_bands=max_bands,
+        max_band_freq=max_band_freq,
     )
     return (
-        left.join(right, ["chunk", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn(
+        cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_candidates(
+    sig: DataFrame,
+    *,
+    max_hamming: int,
+    max_bands: int = 64,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b, sh_a, sh_b) from band joins —
+    exposed separately so candidate volume is testable."""
+    starts, combos = _simhash_band_plan(max_hamming, max_bands)
+
+    def block(c):
+        width = starts[c + 1] - starts[c]
+        return F.shiftright("simhash", starts[c]).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    def band_key(combo):
+        # concatenate the combo's block values into one long; total width
+        # 63 - sum(dirty-block widths) <= 63 - h*ceil(63/B) < 60 bits for
+        # h >= 1, so the concat never overflows a signed long
+        key = None
+        for c in combo:
+            width = starts[c + 1] - starts[c]
+            key = block(c) if key is None else (
+                key * F.lit(1 << width) + block(c)
+            )
+        return key
+
+    if max_hamming <= 0:
+        keys = F.array(F.col("simhash"))  # hamming 0: the signature IS the key
+    else:
+        keys = F.array(*[band_key(cb) for cb in combos])
+    banded = sig.select(
+        "id", "simhash", F.posexplode(keys).alias("band", "bk")
+    )
+    # ONE exchange aligned with the join keys: both self-join sides AND the
+    # frequency cap hang off a single ReusedExchange (minhash/jaccard
+    # discipline)
+    banded = banded.repartition(F.col("band"), F.col("bk"))
+    if max_band_freq is not None:
+        freq = (
+            banded.groupBy("band", "bk").count()
+            .where(F.col("count") <= max_band_freq)
+        )
+        banded = banded.join(freq.select("band", "bk"), ["band", "bk"])
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bk"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bk"
+    )
+    return (
+        left.join(right, ["band", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
     )
 
 

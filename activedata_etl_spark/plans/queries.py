@@ -907,18 +907,98 @@ SELECT id, min(root) AS cluster_id FROM reach GROUP BY id ORDER BY id
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact Jaccard (no SQL oracle —
-    LSH banding is hash-specific; verified in pytest against exact pairs)."""
+    """MinHash+LSH candidates verified by exact Jaccard.  hash_fn="mix31"
+    (sha256-prefix base + universal-hash permutations over 2^31-1) makes the
+    ENTIRE pipeline — signatures, banding, candidate join, verification —
+    reproducible in ANSI SQL, so the DuckDB oracle checks it end to end.
+    The xxhash64 fast path (narrow 8-byte band keys) stays the 10^9-doc
+    default in the operator itself."""
     d = _t(spark, sf, "documents")
     return DD.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5,
+        hash_fn="mix31",
     ).orderBy("id_a", "id_b")
 
 
+# the same (a_i, c_i) universal-hash constants feed the Spark expressions
+# and the oracle SQL below — one seed, two engines, identical arithmetic
+_MINHASH_CONSTS = DD.mix_consts(7, 64)
+_SIMHASH_CONSTS = DD.mix_consts(11, 63)
+_MH_VALUES = ", ".join(f"({i}, {a}, {c})" for i, (a, c) in enumerate(_MINHASH_CONSTS))
+_SH_VALUES = ", ".join(f"({i}, {a}, {c})" for i, (a, c) in enumerate(_SIMHASH_CONSTS))
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), sized AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+bm AS (SELECT doc_id,
+              ('0x' || substr(sha256(shingle), 1, 15))::BIGINT % {DD.MIX_P} AS b
+       FROM ex),
+consts(i, a, c) AS (VALUES {_MH_VALUES}),
+sig AS (
+  SELECT doc_id, i, min((a * b + c) % {DD.MIX_P}) AS v
+  FROM bm CROSS JOIN consts GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, list(v ORDER BY i) AS bv
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+  WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.s, sb.s)) /
+             (sa.n_sh + sb.n_sh - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+FROM cand
+JOIN sized sa ON sa.doc_id = id_a
+JOIN sized sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.s, sb.s)) /
+            (sa.n_sh + sb.n_sh - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (hash-specific; rows-only driver check)."""
+    """SimHash near-dup pairs.  hash_fn="mix31" makes the signature SQL-
+    expressible; block-permutation banding is recall-lossless, so the oracle
+    reproduces the output with signatures + an exact hamming join (banding
+    only prunes candidates, never results)."""
     d = _t(spark, sf, "documents")
-    return DD.simhash_pairs(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+    return DD.simhash_pairs(
+        d, "doc_id", "text", max_hamming=8, hash_fn="mix31"
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+bm AS (SELECT doc_id,
+              ('0x' || substr(sha256(tok), 1, 15))::BIGINT % {DD.MIX_P} AS b
+       FROM toks),
+consts(i, a, c) AS (VALUES {_SH_VALUES}),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum(CASE WHEN ((a * b + c) % {DD.MIX_P}) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN (1::BIGINT << i) ELSE 0 END AS term
+  FROM bm CROSS JOIN consts GROUP BY doc_id, i, a, c
+),
+sig AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS sh FROM bits GROUP BY doc_id)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= 8
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -1214,6 +1294,8 @@ ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "text_stats": ORACLE_TEXT_STATS,
@@ -1222,7 +1304,7 @@ ORACLE_SQL = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "typed_json_props": ORACLE_TYPED_JSON,
-    # dedup_minhash_lsh / dedup_simhash / sim_ann_lsh: hash-defined
-    # semantics, rows-only driver check (pytest verifies them against exact
-    # counterparts: subset + recall bounds)
+    # sim_ann_lsh / sim_ann_ivf: model-defined (hyperplane buckets / trained
+    # kmeans centroids), rows-only driver check (pytest verifies recall
+    # against the exact top-k)
 }

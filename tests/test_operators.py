@@ -265,6 +265,69 @@ def test_near_dup_clusters_connected_components(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_simhash_candidates_stay_subquadratic(spark):
+    """Block-permutation banding: on a random (non-dup) corpus the candidate
+    volume must stay O(n * bands), NOT the ~9*n^2/256 blowup of the naive
+    h+1-chunk layout at max_hamming=8 (7-bit keys / 128 buckets)."""
+    from activedata_etl_spark.operators.dedup import (
+        _simhash_band_plan,
+        _simhash_candidates,
+    )
+
+    starts, combos = _simhash_band_plan(8)
+    assert len(starts) - 1 == 10 and len(combos) == 45  # B=10, C(10,8) bands
+    # every band key carries two blocks (12-14 bits vs the naive 7)
+    assert all(len(cb) == 2 for cb in combos)
+
+    n = 6000
+    sig = spark.range(n).select(
+        "id",
+        F.xxhash64("id").bitwiseAND(F.lit((1 << 63) - 1)).alias("simhash"),
+    )
+    c = _simhash_candidates(sig, max_hamming=8).count()
+    assert c <= n * len(combos), f"{c} candidates: not O(n*bands)"
+    # the old 9-chunk layout expects ~9*n^2/(2*128) random collisions
+    assert c < 9 * n * n // (2 * 128), f"{c}: quadratic blowup"
+
+
+def test_simhash_band_freq_cap(spark):
+    """Adversarial corpus (one signature floods every bucket): the frequency
+    cap bounds candidates, uncapped is quadratic — the stop-shingle
+    discipline applied to simhash banding."""
+    from activedata_etl_spark.operators.dedup import _simhash_candidates
+
+    sig = spark.range(200).select(
+        "id", F.lit(0x123456789AB).cast("long").alias("simhash")
+    )
+    assert _simhash_candidates(sig, max_hamming=8, max_band_freq=10).count() == 0
+    assert _simhash_candidates(sig, max_hamming=8).count() == 200 * 199 // 2
+
+
+def test_mix31_minhash_matches_xxhash_semantics(spark, docs):
+    """The oracle-able mix31 family is a drop-in: verified output is still a
+    subset of exact pairs with high recall (hash family changes candidates,
+    never verified semantics)."""
+    from activedata_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    mix = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", k=64, bands=16, threshold=0.5,
+            hash_fn="mix31",
+        ).collect()
+    }
+    assert mix <= exact
+    if exact:
+        assert len(mix) / len(exact) >= 0.8
+
+
 def test_near_dup_clusters_raises_on_non_convergence(spark):
     """Exiting at max_iter with labels still moving = silently-wrong cluster
     ids (chain deeper than the round budget) — must fail loudly."""
