@@ -73,8 +73,24 @@ def cosine_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int, seed: int):
-    """Deterministic pseudo-random weights in [-1, 1) for one hyperplane."""
+def _hyperplane(plane: int, dim: int, seed: int, hash_fn: str = "xxhash64"):
+    """Deterministic pseudo-random weights in [-1, 1) for one hyperplane.
+
+    hash_fn "xxhash64": one JVM hash per (plane, dim) — the fast default.
+    hash_fn "mix31": the SQL-expressible universal-hash family
+    (operators/dedup.py) over weight index plane*dim+1+d, so the DuckDB
+    oracle reproduces the exact same weights (making hyperplane-LSH ANN
+    oracle-checkable end to end)."""
+    if hash_fn == "mix31":
+        from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+        ((a, c),) = mix_consts(seed, 1)
+        base = plane * dim + 1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (((F.lit(a).cast("long") * (base + d) + c) % MIX_P)
+                       % 2000 - 1000).cast("double") / 1000.0,
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: (
@@ -84,13 +100,14 @@ def _hyperplane(plane: int, dim: int, seed: int):
     )
 
 
-def hyperplane_bucket(vec, *, n_planes: int = 8, dim: int, seed: int = 23):
+def hyperplane_bucket(vec, *, n_planes: int = 8, dim: int, seed: int = 23,
+                      hash_fn: str = "xxhash64"):
     """LSH bucket id: sign bits of the vector against n_planes hyperplanes."""
     bucket = None
     for p in range(n_planes):
-        bit = F.when(dot(vec, _hyperplane(p, dim, seed)) >= 0, F.lit(1 << p)).otherwise(
-            F.lit(0)
-        )
+        bit = F.when(
+            dot(vec, _hyperplane(p, dim, seed, hash_fn)) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
 
@@ -105,6 +122,7 @@ def lsh_ann_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 23,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
 
@@ -121,7 +139,8 @@ def lsh_ann_topk(
         return F.array(
             *[
                 hyperplane_bucket(
-                    vec, n_planes=n_planes, dim=dim, seed=seed + 1000 * t
+                    vec, n_planes=n_planes, dim=dim, seed=seed + 1000 * t,
+                    hash_fn=hash_fn,
                 )
                 for t in range(n_tables)
             ]

@@ -1048,11 +1048,65 @@ WHERE rank <= 3 ORDER BY query_id, rank
 
 
 def sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Hyperplane-LSH ANN (hash-specific buckets; rows-only driver check,
-    recall vs exact top-k asserted in pytest)."""
+    """Hyperplane-LSH ANN with mix31 hyperplane weights: buckets, candidate
+    join, and re-rank all reproduce in ANSI SQL, so the DuckDB oracle checks
+    the full ANN pipeline (xxhash weights remain the operator default)."""
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return SIM.lsh_ann_topk(e, q, k=3, n_planes=4).orderBy("query_id", "rank")
+    return SIM.lsh_ann_topk(e, q, k=3, n_planes=4, hash_fn="mix31").orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ann_lsh_consts(seed: int = 23, n_tables: int = 4) -> str:
+    return ", ".join(
+        f"({t}, {a}, {c})"
+        for t, (a, c) in enumerate(DD.mix_consts(seed + 1000 * t, 1)[0]
+                                   for t in range(n_tables))
+    )
+
+
+ORACLE_SIM_ANN_LSH = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+consts(t, a, c) AS (VALUES {{consts}}),
+planes(p) AS (VALUES (0), (1), (2), (3)),
+cb AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN list_inner_product(v, list_transform(
+               generate_series(0, 63),
+               d -> (((a * (p * 64 + d + 1) + c) % {DD.MIX_P}) % 2000 - 1000) / 1000.0
+             )) >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM corpus CROSS JOIN consts CROSS JOIN planes GROUP BY vec_id, t
+),
+qb AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN list_inner_product(v, list_transform(
+               generate_series(0, 63),
+               d -> (((a * (p * 64 + d + 1) + c) % {DD.MIX_P}) % 2000 - 1000) / 1000.0
+             )) >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM q CROSS JOIN consts CROSS JOIN planes GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+  WHERE qb.vec_id <> cb.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_inner_product(qq.v, cc.v) /
+               (sqrt(list_inner_product(qq.v, qq.v)) *
+                sqrt(list_inner_product(cc.v, cc.v))), 6) AS score
+  FROM cand
+  JOIN q qq ON qq.vec_id = query_id
+  JOIN corpus cc ON cc.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY query_id, rank
+""".format(consts=_ann_lsh_consts())
 
 
 def sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -1298,13 +1352,14 @@ ORACLE_SQL = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
+    "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": ORACLE_TEXT_LANGID,
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "typed_json_props": ORACLE_TYPED_JSON,
-    # sim_ann_lsh / sim_ann_ivf: model-defined (hyperplane buckets / trained
-    # kmeans centroids), rows-only driver check (pytest verifies recall
-    # against the exact top-k)
+    # sim_ann_ivf: model-defined (trained kmeans centroids reach the plan as
+    # data, not as expressions), rows-only driver check (pytest verifies
+    # recall against the exact top-k and BLAS/Catalyst path parity)
 }
