@@ -14,6 +14,44 @@ import os
 import sys
 
 
+def skew_metrics(spark) -> dict | None:
+    """max-task / mean-task time for the heaviest shuffle-read stage (the
+    LWW reduce) from the REST API — the measured skew gate: map-side combine
+    is claimed to flatten the hot repo, this number proves it per run."""
+    import urllib.request
+
+    def get(url):
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.loads(r.read())
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    try:
+        app = get(f"{base}/api/v1/applications")[0]["id"]
+        stages = get(f"{base}/api/v1/applications/{app}/stages?status=complete")
+        stages = [s for s in stages if s.get("numCompleteTasks", 0) > 1]
+        if not stages:
+            return None
+        s = max(stages, key=lambda x: x.get("shuffleReadBytes", 0))
+        q = get(
+            f"{base}/api/v1/applications/{app}/stages/{s['stageId']}/"
+            f"{s['attemptId']}/taskSummary?quantiles=0.0,0.5,1.0"
+        )
+        max_ms = q["executorRunTime"][2]
+        mean_ms = s["executorRunTime"] / max(s["numCompleteTasks"], 1)
+        return {
+            "stage_id": s["stageId"],
+            "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1048576, 1),
+            "num_tasks": s["numCompleteTasks"],
+            "max_task_ms": max_ms,
+            "mean_task_ms": round(mean_ms, 1),
+            "max_task_over_mean": round(max_ms / mean_ms, 2) if mean_ms else None,
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     par, chunk = sys.argv[1], int(sys.argv[2])
     journal_dir, lake_dir = sys.argv[3], sys.argv[4]
@@ -30,7 +68,10 @@ def main() -> None:
     # handicapping the N level and flattering the ratio.
     shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32"))
     spark = get_spark(
-        f"bench_replay_{par}", parallelism=par, shuffle_partitions=shuffle
+        f"bench_replay_{par}", parallelism=par, shuffle_partitions=shuffle,
+        # UI on (random port): the REST API supplies the per-stage task-time
+        # skew evidence; overhead on the measured path is negligible
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
     )
     # untimed warmup: the north metric is SUSTAINED events/sec, and on a real
     # cluster long-running executors are JIT/codegen-warm.  A fresh JVM pays
@@ -59,6 +100,7 @@ def main() -> None:
         "events": r["events"],
         "elapsed_sec": r["elapsed_sec"],
         "events_per_sec": r["events_per_sec"],
+        "reduce_stage": skew_metrics(spark),
     }))
 
 

@@ -166,6 +166,9 @@ def main() -> None:
                 "cpu_capacity_ratio": round(cap_ratio, 3),
                 "scaling_efficiency_hw_normalized": eff_norm,
                 f"salted_events_per_sec_{BIG_SPEC}": r_salt["events_per_sec"],
+                # skew gate: task-time spread of the heaviest shuffle stage
+                # (the LWW reduce) at 4N — map-side combine keeps this ~<2
+                "reduce_stage_skew": r_big.get("reduce_stage"),
             },
         }
         print(json.dumps(out))
