@@ -2,10 +2,12 @@
 
 entry()      flagship query on sf0.001 (CDC LWW latest-state + enrichment)
 queries()    every implemented operator from SURVEY.md §2 (plans/queries.py)
-oracle_sql() matching DuckDB SQL for 39 of the 43 queries; the 4
-             hash-/model-defined ops (minhash-LSH, simhash, hyperplane ANN,
-             IVF ANN) are rows-only and are verified against exact
-             counterparts in tests/ (subset + recall bounds).
+oracle_sql() matching DuckDB SQL for 44 of the 45 queries — including the
+             hash-defined ops (minhash-LSH, simhash, hyperplane ANN) via the
+             SQL-expressible mix31 hash family.  Only sim_ann_ivf is
+             rows-only (trained kmeans centroids are data, not expressions);
+             it is verified against the exact top-k in tests/ (recall bound
+             + BLAS/Catalyst path parity).
 """
 
 from __future__ import annotations
