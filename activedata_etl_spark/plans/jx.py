@@ -30,10 +30,23 @@ value_compare, language.py:152-235), window (partition/sort/aggregate/range/
 where, incl. percentile + list accumulators, `jx_python/windows.py:277,305`),
 limit (DEFAULT_LIMIT=10 per jx_base/query.py:29).
 
+Window relative-row access: ``{"rows": [v, offset]}`` (RowsOp,
+jx_base/expressions.py:384-409) compiles to lag/lead over the window's
+partition+sort; aggregate-free windows assign the value directly.
+
+Date literals (mo_times/dates.py:272-434 parity): numeric unix (ms when
+>1e10), ISO-8601 with zone, now/today/eod/tomorrow and relative expressions
+("now-7day"); time domains accept counted durations ("6week") via numeric
+unix-grid binning.
+
 Nested-array dives: a dot path that crosses an ``array<struct>`` boundary is
 resolved by inserting ``explode_outer`` at each boundary — the snowflake
 ``nested_path`` auto-dive of `jx_python/jx.py:640-912` (drill_filter) and
 :279-392 (_select_deep).
+
+Result shaping: ``run_formatted`` packages results as list/table/cube
+(`jx_python/jx.py:106-115`, `es52/format.py`) — presentation-only,
+driver-side, post-limit.
 """
 
 from __future__ import annotations
@@ -737,6 +750,88 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
     if limit is not None:
         df = df.limit(int(limit))
     return df
+
+
+def run_formatted(query: dict, frames: dict[str, DataFrame]) -> dict:
+    """``run`` + result packaging per ``query["format"]`` — the reference's
+    presentation layer (`jx_python/jx.py:106-115`, `es52/format.py`):
+
+    - "list" (default): {"meta": {"format": "list"}, "data": [row dicts]}
+    - "table": {"meta", "header": [cols], "data": [[values]]}
+    - "cube": edge queries -> {"meta", "edges": [axis meta], "data":
+      {select: N-dim nested lists indexed by edge partition}} (the Matrix
+      shape, `es52/format.py:25-82`); no edges -> column-major {col: [vals]}
+      (`convert.list2cube` on plain lists).
+
+    Presentation-only and driver-side BY DESIGN: it renders the final
+    (post-limit) result of a distributed query for a client, exactly like
+    the reference returns JSON to its HTTP caller — never part of a plan.
+    """
+    fmt = query.get("format", "list")
+    df = run(query, frames)
+    cols = df.columns
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    if fmt == "table":
+        return {
+            "meta": {"format": "table"},
+            "header": cols,
+            "data": [[r.get(c) for c in cols] for r in rows],
+        }
+    if fmt == "cube":
+        edges = query.get("edges")
+        if not edges:
+            return {
+                "meta": {"format": "cube"},
+                "data": {c: [r.get(c) for r in rows] for c in cols},
+            }
+        axes, indexers = [], []
+        for e_ in edges:
+            e_ = {"name": e_, "value": e_} if isinstance(e_, str) else e_
+            name = e_.get("name") or e_["value"]
+            parts = _domain_parts(e_)
+            if parts is None:  # SimpleSetDomain from the data itself
+                parts = sorted({r[name] for r in rows if r[name] is not None})
+            allow = e_.get("allowNulls", True)
+            idx = {v: i for i, v in enumerate(parts)}
+            if allow:
+                idx[None] = len(parts)  # null bucket LAST (decoders.py)
+            axes.append({
+                "name": name,
+                "allowNulls": allow,
+                "domain": {"type": e_.get("domain", {}).get("type", "set"),
+                           "partitions": list(parts)},
+            })
+            indexers.append((name, idx))
+        dims = [len(ix) for _, ix in indexers]
+        sel_names = [c for c in cols if c not in {n for n, _ in indexers}]
+        sels = query.get("select")
+        zero = set()
+        for s in (sels if isinstance(sels, list) else [sels]) if sels else []:
+            if isinstance(s, dict) and s.get("aggregate", "count") in _ZERO_FILL:
+                zero.add(s.get("name"))
+
+        def matrix(dims, fill):
+            if not dims:
+                return fill
+            return [matrix(dims[1:], fill) for _ in range(dims[0])]
+
+        data = {s: matrix(dims, 0 if s in zero else None) for s in sel_names}
+        for r in rows:
+            coord = []
+            for name, ix in indexers:
+                if r[name] not in ix:
+                    coord = None  # allowNulls=False dropped bucket
+                    break
+                coord.append(ix[r[name]])
+            if coord is None:
+                continue
+            for s in sel_names:
+                cell = data[s]
+                for c in coord[:-1]:
+                    cell = cell[c]
+                cell[coord[-1]] = r.get(s)
+        return {"meta": {"format": "cube"}, "edges": axes, "data": data}
+    return {"meta": {"format": "list"}, "data": rows}
 
 
 def _densify(grouped: DataFrame, dense: list, sels: list) -> DataFrame:

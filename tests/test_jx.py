@@ -505,6 +505,54 @@ def test_window_rows_op(frames):
         jx.compile_expr({"rows": ["i", -1]})
 
 
+def test_run_formatted_list_table_cube(frames):
+    """Result shaping (jx_python/jx.py:106-115; es52/format.py): list is row
+    dicts, table is header+rows, cube is per-select matrices indexed by edge
+    partition with the null bucket LAST."""
+    q = {
+        "from": "t",
+        "edges": [{"name": "g", "value": "g",
+                   "domain": {"type": "set", "partitions": ["x", "y", "w"]}}],
+        "select": [{"name": "n", "aggregate": "count"},
+                   {"name": "sv", "value": "v", "aggregate": "sum"}],
+        "sort": "g",
+    }
+    lst = jx.run_formatted(q, frames)
+    assert lst["meta"]["format"] == "list" and len(lst["data"]) == 4
+    assert all(set(r) == {"g", "n", "sv"} for r in lst["data"])
+
+    tbl = jx.run_formatted({**q, "format": "table"}, frames)
+    assert tbl["header"] == ["g", "n", "sv"]
+    assert tbl["data"][-1] == ["y", 2, 20.0]  # sorted by g, nulls first
+
+    cube = jx.run_formatted({**q, "format": "cube"}, frames)
+    assert cube["meta"]["format"] == "cube"
+    assert cube["edges"][0]["domain"]["partitions"] == ["x", "y", "w"]
+    # matrices indexed by partition order, null bucket last, count zero-fill
+    assert cube["data"]["n"] == [2, 2, 0, 1]
+    assert cube["data"]["sv"] == [40.0, 20.0, None, 50.0]
+
+    # two edges -> 2-D matrix; sparse second edge domain comes from the data
+    q2 = {
+        "from": "t",
+        "edges": [{"name": "g", "value": "g", "allowNulls": False,
+                   "domain": {"type": "set", "partitions": ["x", "y"]}},
+                  {"name": "tag", "value": "tag"}],
+        "select": {"name": "n", "aggregate": "count"},
+    }
+    cube2 = jx.run_formatted({**q2, "format": "cube"}, frames)
+    assert cube2["edges"][1]["domain"]["partitions"] == ["p", "q"]
+    # rows: (x,None)=1, (x,q)=1, (y,p)=2  ->  g-major, tag (p,q,null)-minor
+    assert cube2["data"]["n"] == [[0, 1, 1], [2, 0, 0]]
+
+    # no edges -> column-major (convert.list2cube on plain lists)
+    flat = jx.run_formatted(
+        {"from": "t", "select": ["g", "i"], "sort": "i", "format": "cube"},
+        frames,
+    )
+    assert flat["data"]["i"] == [1, 2, 3, 4, 5]
+
+
 def test_jx_query_over_converged_lake_table(spark, tmp_path):
     """End-to-end: journal -> CDC replay -> SnapshotTable -> jx-lite query,
     verified against a pandas aggregation of the same converged state."""
