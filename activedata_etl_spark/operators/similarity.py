@@ -187,6 +187,7 @@ def ivf_ann_topk(
     sample_fraction: float | None = None,
     max_train: int = 100_000,
     max_iter: int = 8,
+    centroids: str = "kmeans",
     _force_blas: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning — the classic
@@ -210,21 +211,47 @@ def ivf_ann_topk(
     matmul anyway, so assignment switches to an Arrow ``mapInPandas`` BLAS
     pass with the centroid matrix broadcast as numpy (one matmul per
     batch — the standard IVF assignment kernel).
+
+    ``centroids="seed_rows"`` skips k-means and takes the ``n_centroids``
+    corpus rows with the smallest mix31-hash of their id as the coarse
+    quantizer (the classic random-subsample quantizer).  Everything after
+    training — assignment, probe, candidate join, re-rank — is identical,
+    and with this mode the WHOLE pipeline is reproducible in ANSI SQL, so
+    the DuckDB oracle checks it end to end (k-means remains the default;
+    its recall is asserted separately in pytest).
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    if sample_fraction is None:
-        sample_fraction = _train_fraction(corpus.count(), max_train)
-    if sample_fraction < 1.0:
-        train = train.sample(fraction=sample_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
-    centers = np.array([list(c) for c in model.clusterCenters()], dtype=np.float64)
+    if centroids == "seed_rows":
+        from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+        ((a, c),) = mix_consts(seed, 1)
+        picked = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(
+                (F.lit(a).cast("long") * F.col(id_col) + c) % MIX_P,
+                F.col(id_col),
+            )
+            .limit(n_centroids)
+            .collect()
+        )
+        centers = np.array([list(r[1]) for r in picked], dtype=np.float64)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+        if sample_fraction is None:
+            sample_fraction = _train_fraction(corpus.count(), max_train)
+        if sample_fraction < 1.0:
+            train = train.sample(fraction=sample_fraction, seed=seed)
+        model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+        centers = np.array(
+            [list(c) for c in model.clusterCenters()], dtype=np.float64
+        )
     dim = centers.shape[1]
 
     if n_centroids * dim <= 1024 and not _force_blas:

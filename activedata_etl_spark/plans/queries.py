@@ -1110,13 +1110,60 @@ WHERE rank <= 3 ORDER BY query_id, rank
 
 
 def sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (kmeans model-dependent; rows-only driver
-    check, recall vs exact top-k asserted in pytest)."""
+    """IVF coarse-quantizer ANN with deterministic seed-row centroids (the
+    random-subsample quantizer) so assignment, probe, candidate join and
+    re-rank all reproduce in ANSI SQL — the DuckDB oracle checks the full
+    IVF pipeline.  The trained (MLlib k-means) quantizer stays the operator
+    default; its recall is asserted separately in pytest."""
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return SIM.ivf_ann_topk(e, q, k=3, n_centroids=8, n_probe=3).orderBy(
-        "query_id", "rank"
-    )
+    return SIM.ivf_ann_topk(
+        e, q, k=3, n_centroids=8, n_probe=3, centroids="seed_rows"
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_consts(seed: int = 31) -> tuple[int, int]:
+    ((a, c),) = DD.mix_consts(seed, 1)
+    return a, c
+
+
+ORACLE_SIM_ANN_IVF = """
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+cents AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v, ({a} * vec_id + {c}) % {p} AS h
+        FROM corpus ORDER BY h, vec_id LIMIT 8)
+),
+ca AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT co.vec_id, co.v, ce.cell,
+           row_number() OVER (PARTITION BY co.vec_id
+                              ORDER BY list_distance(co.v, ce.cv), ce.cell) AS rn
+    FROM corpus co CROSS JOIN cents ce)
+  WHERE rn = 1
+),
+qa AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT qq.vec_id, qq.v, ce.cell,
+           row_number() OVER (PARTITION BY qq.vec_id
+                              ORDER BY list_distance(qq.v, ce.cv), ce.cell) AS rn
+    FROM q qq CROSS JOIN cents ce)
+  WHERE rn <= 3
+),
+scored AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         round(list_inner_product(qa.v, ca.v) /
+               (sqrt(list_inner_product(qa.v, qa.v)) *
+                sqrt(list_inner_product(ca.v, ca.v))), 6) AS score
+  FROM qa JOIN ca USING (cell) WHERE qa.vec_id <> ca.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY query_id, rank
+""".format(a=_ann_ivf_consts()[0], c=_ann_ivf_consts()[1], p=DD.MIX_P)
 
 
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1353,6 +1400,7 @@ ORACLE_SQL = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
+    "sim_ann_ivf": ORACLE_SIM_ANN_IVF,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": ORACLE_TEXT_LANGID,

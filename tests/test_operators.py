@@ -207,6 +207,30 @@ def test_ivf_ann_recall_vs_exact(spark, emb):
     assert -1.0 <= row["score"] <= 1.0
 
 
+def test_ivf_seed_rows_quantizer(spark, emb):
+    """centroids="seed_rows" (random-subsample quantizer, the SQL-oracle
+    mode): deterministic across runs, recall stays usable, and every score
+    is a true cosine of the claimed pair."""
+    from activedata_etl_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    kw = dict(k=5, n_centroids=8, n_probe=4, centroids="seed_rows")
+    got = {(r["query_id"], r["neighbor_id"], r["score"])
+           for r in ivf_ann_topk(emb, q, **kw).collect()}
+    again = {(r["query_id"], r["neighbor_id"], r["score"])
+             for r in ivf_ann_topk(emb, q, **kw).collect()}
+    assert got == again and got
+    exact = {(r["query_id"], r["neighbor_id"], r["score"])
+             for r in cosine_topk(emb, q, k=50).collect()}
+    # every reported (pair, score) is a true cosine from the exact list
+    assert {g for g in got} <= exact
+    pairs = {(a, b) for a, b, _ in got}
+    top5 = {(r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, k=5).collect()}
+    recall = len(pairs & top5) / len(top5)
+    assert recall >= 0.4, f"seed-rows IVF recall {recall:.2f}"
+
+
 def test_multimodal_resize_and_frame_sampling(spark, docs):
     from activedata_etl_spark.multimodal import (
         media_from_documents,
