@@ -2,12 +2,11 @@
 
 entry()      flagship query on sf0.001 (CDC LWW latest-state + enrichment)
 queries()    every implemented operator from SURVEY.md §2 (plans/queries.py)
-oracle_sql() matching DuckDB SQL for 44 of the 45 queries — including the
-             hash-defined ops (minhash-LSH, simhash, hyperplane ANN) via the
-             SQL-expressible mix31 hash family.  Only sim_ann_ivf is
-             rows-only (trained kmeans centroids are data, not expressions);
-             it is verified against the exact top-k in tests/ (recall bound
-             + BLAS/Catalyst path parity).
+oracle_sql() matching DuckDB SQL for ALL 44 queries — including the
+             hash-defined ops (minhash-LSH, simhash, hyperplane ANN via the
+             SQL-expressible mix31 hash family) and IVF ANN (deterministic
+             seed-row centroids; trained-kmeans mode verified separately in
+             tests/ with recall bound + BLAS/Catalyst path parity).
 """
 
 from __future__ import annotations
