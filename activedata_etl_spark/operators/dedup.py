@@ -557,6 +557,66 @@ def embedding_neardup_pairs(
     return replicated.groupBy("ti", "tj").applyInPandas(tile, out_schema)
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 23,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: hyperplane-LSH candidate pairs +
+    exact-cosine verify — the scale path next to the exact (O(n²) compute)
+    ``embedding_neardup_pairs`` tiling.
+
+    Candidates are pairs co-bucketed in ANY of ``n_tables`` independent
+    sign-bit tables (miss probability for a pair at angle θ decays as
+    (1-(1-θ/π)^n_planes)^n_tables — vanishing for truly near-dup pairs);
+    the (table, bucket) self-equi-join replaces the cross join, shrinking
+    pair volume by ~2^n_planes/n_tables.  One explicit repartition on the
+    join keys makes BOTH sides reuse a single exchange (the per-row HOF
+    bucket expressions would otherwise be recomputed per side).  Verified
+    pairs carry their true cosine, so output ⊆ the exact operator's output.
+
+    hash_fn "mix31" makes bucketing reproducible in ANSI SQL (DuckDB
+    oracle); "xxhash64" is the fast default.
+    """
+    from activedata_etl_spark.operators import similarity as S
+
+    dim = len(df.select(vec_col).first()[0])
+    buckets = F.array(*[
+        S.hyperplane_bucket(
+            F.col("vec"), n_planes=n_planes, dim=dim, seed=seed + 1000 * t,
+            hash_fn=hash_fn,
+        )
+        for t in range(n_tables)
+    ])
+    b = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select("id", "vec", F.posexplode(buckets).alias("table", "bucket"))
+        .repartition("table", "bucket")
+    )
+    left = b.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
+    )
+    right = b.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket"
+    )
+    return (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine", F.round(S.cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     """Pair list -> connected components: (id, cluster_id = min id in the
     component).  This is the step a dedup pipeline actually consumes — keep

@@ -1109,6 +1109,45 @@ WHERE rank <= 3 ORDER BY query_id, rank
 """.format(consts=_ann_lsh_consts())
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup (hyperplane-LSH candidates + exact
+    cosine verify) with mix31 weights so the DuckDB oracle reproduces the
+    candidate generation bit-for-bit; output ⊆ dedup_embedding's pairs."""
+    e = _t(spark, sf, "embeddings")
+    return DD.embedding_neardup_lsh(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=4, hash_fn="mix31"
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_EMBEDDING_LSH = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+consts(t, a, c) AS (VALUES {consts}),
+planes(p) AS (VALUES (0), (1), (2), (3)),
+vb AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN list_inner_product(ev, list_transform(
+               generate_series(0, 63),
+               d -> (((a * (p * 64 + d + 1) + c) % {p_mod}) % 2000 - 1000) / 1000.0
+             )) >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM v CROSS JOIN consts CROSS JOIN planes GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM vb x JOIN vb y ON x.t = y.t AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+)
+SELECT id_a, id_b,
+       round(list_inner_product(a.ev, b.ev) /
+             (sqrt(list_inner_product(a.ev, a.ev)) *
+              sqrt(list_inner_product(b.ev, b.ev))), 6) AS cosine
+FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+WHERE round(list_inner_product(a.ev, b.ev) /
+            (sqrt(list_inner_product(a.ev, a.ev)) *
+             sqrt(list_inner_product(b.ev, b.ev))), 6) >= 0.4
+ORDER BY id_a, id_b
+""".format(consts=_ann_lsh_consts(), p_mod=DD.MIX_P)
+
+
 def sim_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer ANN with deterministic seed-row centroids (the
     random-subsample quantizer) so assignment, probe, candidate join and
@@ -1351,6 +1390,7 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1398,6 +1438,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
     "sim_cosine_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
     "sim_ann_ivf": ORACLE_SIM_ANN_IVF,

@@ -187,6 +187,49 @@ def test_embedding_neardup_tiled_matches_exact(spark, emb):
     assert got == expect
 
 
+def test_embedding_neardup_lsh_subset_and_recall(spark, emb):
+    """LSH candidate path: output is a SUBSET of the exact pairs with
+    identical cosines; planted duplicates (cosine 1.0 — always co-bucketed)
+    are all recovered; near-threshold natural pairs keep subset semantics."""
+    from activedata_etl_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    # plant 500 exact duplicates: identical vectors share every bucket, so
+    # LSH recall on them must be 1.0
+    planted = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_lsh(
+            corpus, "vec_id", "embedding", threshold=0.99, n_planes=4
+        ).collect()
+    }
+    expect_dups = {(r["vec_id"], r["vec_id"] + 100_000) for r in emb.collect()}
+    assert expect_dups <= set(got)
+    assert all(c == 1.0 for p, c in got.items() if p in expect_dups)
+
+    # natural near-threshold pairs: subset of exact with identical cosines
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_blocks=5
+        ).collect()
+    }
+    low = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=4
+        ).collect()
+    }
+    assert low, "LSH found no natural pairs at threshold 0.3"
+    assert set(low) <= set(exact)
+    assert all(exact[p] == c for p, c in low.items())
+
+
 def test_ivf_ann_recall_vs_exact(spark, emb):
     """IVF coarse quantizer: candidates from probed cells only, recall vs
     exact top-k stays usable; scores are true cosines."""
