@@ -804,15 +804,26 @@ FROM events WHERE event_id < 1000 ORDER BY event_id
 # ---------------------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
-    return DD.exact_dup_groups(d, "doc_id", "text").select(
+    """The synthetic documents are all unique, so the corpus unions in a
+    deterministic duplicate of every 10th doc — the hash-groupBy then has
+    real dup groups to find (the oracle applies the identical union)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return DD.exact_dup_groups(d.unionByName(dup), "doc_id", "text").select(
         "content_hash", "n_docs", "keep_id"
     ).orderBy("content_hash")
 
 
 ORACLE_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
+FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 """
 
 
