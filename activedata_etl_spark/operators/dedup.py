@@ -622,11 +622,14 @@ def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     component).  This is the step a dedup pipeline actually consumes — keep
     ``id == cluster_id``, drop the rest.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in O(component
-    diameter) rounds (near-dup components are shallow in practice — chains
-    of near-identical docs).  Each round is one equi-join + hash agg, fully
-    distributed; the only driver action is the tiny convergence check.
+    Min-label propagation WITH pointer jumping: each round every node takes
+    (a) the min of its own and its neighbors' labels, then (b) the label of
+    that label (the grandparent — path halving).  Step (b) turns the round
+    complexity from O(component diameter) into **O(log diameter)** — a
+    100k-doc boilerplate chain converges in ~17 rounds instead of 100k —
+    at the cost of one extra equi-join per round against the (small) label
+    frame.  Everything is distributed joins + hash aggs; the only driver
+    action is the tiny convergence check.
     """
     from pyspark.sql import Observation
 
@@ -650,11 +653,23 @@ def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new = F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+        mid = F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+        half = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select("id", F.col("label").alias("__old"), mid.alias("__mid"))
+        # pointer jump (path halving): label <- label-of-label.  Every label
+        # value is some node's id, so the self-join lookup always hits; the
+        # result is monotone decreasing and stays within the component.
+        parent = labels.select(
+            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        )
+        new = F.least(
+            F.col("__mid"), F.coalesce(F.col("__plabel"), F.col("__mid"))
+        )
         obs = Observation(f"cc_{i}")
         stepped = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select("id", new.alias("label"), (new < F.col("label")).alias("__chg"))
+            half.join(parent, half["__mid"] == parent["__pid"], "left")
+            .select("id", new.alias("label"), (new < F.col("__old")).alias("__chg"))
             .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n"))
         )
         # ONE action per round: the checkpoint job also fills the observation

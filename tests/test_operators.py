@@ -409,6 +409,22 @@ def test_near_dup_clusters_raises_on_non_convergence(spark):
     assert set(got.values()) == {0}
 
 
+def test_near_dup_clusters_log_rounds_on_deep_chain(spark):
+    """Pointer jumping: a 200-node path component (diameter 199) must
+    converge within O(log n) rounds — label reach grows as 2^(k+1)-1 per
+    round k, so 9 rounds suffice where plain propagation needs ~200."""
+    from activedata_etl_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in near_dup_clusters(chain, max_iter=9).collect()
+    }
+    assert len(got) == 200 and set(got.values()) == {0}
+
+
 def test_ivf_train_fraction_guard(spark, emb):
     """KMeans training is capped at ~max_train rows by default — full-corpus
     training would pay max_iter full scans at 10^8 vectors."""
