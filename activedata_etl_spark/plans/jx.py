@@ -356,6 +356,25 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
         return _var(k, env).rlike(v)
     if op == "tuple":
         return F.struct(*[compile_expr(a, env) for a in args])
+    if op == "get":
+        # GetOp (jx_base/expressions.py:412-433): successive derefs of a
+        # value — int offsets index arrays (Python semantics: 0-based,
+        # negative from the end, to_python renders ``var[o]``), string
+        # offsets select struct fields.
+        if isinstance(args, dict):  # simple form {"get": {v: offset}}
+            ((v, off),) = args.items()
+            args = [v, off]
+        col = compile_expr(args[0], env)
+        for o in args[1:]:
+            if isinstance(o, dict) and "literal" in o:
+                o = o["literal"]
+            if isinstance(o, bool) or not isinstance(o, (int, str)):
+                raise ValueError(f"get offset must be int or string: {o!r}")
+            if isinstance(o, int):
+                col = F.element_at(col, o + 1 if o >= 0 else o)
+            else:
+                col = col.getField(o)
+        return col
     if op == "first":
         return F.element_at(compile_expr(args, env), 1)
     if op == "last":

@@ -505,6 +505,28 @@ def test_window_rows_op(frames):
         jx.compile_expr({"rows": ["i", -1]})
 
 
+def test_get_op(frames, spark):
+    """GetOp (jx_base/expressions.py:412): successive derefs — int offsets
+    index arrays Python-style (0-based, negative from the end), string
+    offsets select struct fields; simple form {"get": {v: offset}}."""
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30], {"a": 7, "b": [1, 2]})],
+        "id long, arr array<long>, st struct<a: long, b: array<long>>",
+    )
+    fr = {"d": df}
+    out = jx.run({"from": "d", "select": [
+        {"name": "first", "value": {"get": ["arr", 0]}},
+        {"name": "last", "value": {"get": ["arr", -1]}},
+        {"name": "field", "value": {"get": ["st", "a"]}},
+        {"name": "deep", "value": {"get": ["st", "b", 1]}},
+        {"name": "simple", "value": {"get": {"arr": 1}}},
+    ]}, fr).collect()[0]
+    assert (out["first"], out["last"], out["field"], out["deep"],
+            out["simple"]) == (10, 30, 7, 2, 20)
+    with pytest.raises(ValueError):
+        jx.compile_expr({"get": ["arr", 1.5]})
+
+
 def test_run_formatted_list_table_cube(frames):
     """Result shaping (jx_python/jx.py:106-115; es52/format.py): list is row
     dicts, table is header+rows, cube is per-select matrices indexed by edge
