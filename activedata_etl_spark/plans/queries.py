@@ -1126,14 +1126,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     candidate generation bit-for-bit; output ⊆ dedup_embedding's pairs."""
     e = _t(spark, sf, "embeddings")
     return DD.embedding_neardup_lsh(
-        e, "vec_id", "embedding", threshold=0.4, n_planes=4, hash_fn="mix31"
+        e, "vec_id", "embedding", threshold=0.4, n_planes=6, hash_fn="mix31"
     ).orderBy("id_a", "id_b")
 
 
 ORACLE_DEDUP_EMBEDDING_LSH = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
 consts(t, a, c) AS (VALUES {consts}),
-planes(p) AS (VALUES (0), (1), (2), (3)),
+planes(p) AS (VALUES (0), (1), (2), (3), (4), (5)),
 vb AS (
   SELECT vec_id, t,
          sum(CASE WHEN list_inner_product(ev, list_transform(
