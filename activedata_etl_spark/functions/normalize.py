@@ -252,7 +252,9 @@ def typed_encode_stateful(df: DataFrame, col: str, out_col: str = "typed") -> Da
         return js.map(one)
 
     seen = frozenset(
-        tuple(r[0].split("\x00"))
+        # root path () serializes to "" — decode it back to () (a plain
+        # split would yield ("",) and root-level array history would be lost)
+        () if r[0] == "" else tuple(r[0].split("\x00"))
         for r in df.select(F.explode(paths_udf(F.col(col)))).distinct().collect()
     )
 

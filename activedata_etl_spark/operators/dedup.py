@@ -86,7 +86,13 @@ def shingles_of_tokens(toks: F.Column, n: int = 3) -> F.Column:
     common-subexpression elimination, so an inlined tokenizer regex would
     re-run for every element_at — O(len x shingles) per doc (measured 12 s
     vs 0.5 s at sf0.1 before ``shingled`` materialized it)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # docs with fewer than n tokens have NO shingles: guard with an explicit
+    # empty array — sequence(1, 0) would be the DESCENDING [1, 0] in Spark,
+    # whose element_at(toks, 0) throws under ANSI mode
+    last = F.size(toks) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -229,12 +229,13 @@ def ivf_ann_topk(
         from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
 
         ((a, c),) = mix_consts(seed, 1)
+        # reduce id mod P BEFORE the multiply (the mix31 family contract:
+        # a*(x mod P)+c stays < 2^62) — a raw a*id overflows int64 under
+        # ANSI mode once ids pass ~2^32
+        hid = (F.lit(a).cast("long") * F.pmod(F.col(id_col), F.lit(MIX_P)) + c) % MIX_P
         picked = (
             corpus.select(F.col(id_col), F.col(vec_col))
-            .orderBy(
-                (F.lit(a).cast("long") * F.col(id_col) + c) % MIX_P,
-                F.col(id_col),
-            )
+            .orderBy(hid, F.col(id_col))
             .limit(n_centroids)
             .collect()
         )

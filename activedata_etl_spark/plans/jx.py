@@ -51,6 +51,7 @@ driver-side, post-limit.
 
 from __future__ import annotations
 
+import calendar as _calendar
 import datetime as _dt
 import re as _re
 from typing import Any
@@ -371,7 +372,10 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
             if isinstance(o, bool) or not isinstance(o, (int, str)):
                 raise ValueError(f"get offset must be int or string: {o!r}")
             if isinstance(o, int):
-                col = F.element_at(col, o + 1 if o >= 0 else o)
+                # try_element_at: out-of-range deref is MISSING (null), not
+                # an error — jx var[o] semantics; plain element_at throws
+                # under ANSI mode (the Spark 4 session default)
+                col = F.try_element_at(col, F.lit(o + 1 if o >= 0 else o))
             else:
                 col = col.getField(o)
         return col
@@ -459,6 +463,13 @@ def _collect_vars(node: Any, out: set) -> None:
                      "not_right", "split", "regex", "range",
                      "rows") and isinstance(v, dict):
                 out.update(v.keys())  # dict-form: keys are variables
+            elif k == "get":
+                # {"get": [v, o...]} / {"get": {v: o}}: only the FIRST term
+                # is a variable; offsets are indexes/field names, not paths
+                if isinstance(v, dict):
+                    out.update(v.keys())
+                elif isinstance(v, (list, tuple)) and v:
+                    _collect_vars(v[0], out)
             else:
                 _collect_vars(v, out)
     elif isinstance(node, (list, tuple)):
@@ -585,7 +596,11 @@ def _set_partition_values(dom: dict):
 
 def _month_add(d: _dt.datetime, n: int) -> _dt.datetime:
     m = d.month - 1 + n
-    return d.replace(year=d.year + m // 12, month=m % 12 + 1)
+    year, month = d.year + m // 12, m % 12 + 1
+    # clamp to the last valid day (mo_times add_month semantics): Mar 31 -
+    # 1month = Feb 28/29, not a ValueError
+    last = _calendar.monthrange(year, month)[1]
+    return d.replace(year=year, month=month, day=min(d.day, last))
 
 
 def _interval_parts(lo, hi, interval) -> list:

@@ -1182,7 +1182,7 @@ WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
 cents AS (
   SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv
-  FROM (SELECT vec_id, v, ({a} * vec_id + {c}) % {p} AS h
+  FROM (SELECT vec_id, v, ({a} * (vec_id % {p}) + {c}) % {p} AS h
         FROM corpus ORDER BY h, vec_id LIMIT 8)
 ),
 ca AS (

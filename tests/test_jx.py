@@ -445,6 +445,20 @@ def test_date_literal_forms():
         jx.NOW_UNIX = None
 
 
+def test_date_month_arithmetic_clamps_month_end():
+    """mo_times add_month clamps to the last valid day: Mar 31 - 1month is
+    Feb 29 (2024 is a leap year), not a ValueError."""
+    jx.NOW_UNIX = 1711843200.0  # 2024-03-31 00:00:00 UTC
+    try:
+        p = jx._parse_date_unix
+        assert p("now-1month") == 1709164800.0   # 2024-02-29
+        assert p("today-month") == 1709164800.0
+        assert p("now+11month") == 1740700800.0  # 2025-02-28 (non-leap)
+        assert p("now+1month") == 1714435200.0   # 2024-04-30 (31 -> 30)
+    finally:
+        jx.NOW_UNIX = None
+
+
 def test_duration_seconds():
     assert jx._duration_seconds("6week") == 6 * 604800
     assert jx._duration_seconds("12hour") == 12 * 3600
@@ -525,6 +539,34 @@ def test_get_op(frames, spark):
             out["simple"]) == (10, 30, 7, 2, 20)
     with pytest.raises(ValueError):
         jx.compile_expr({"get": ["arr", 1.5]})
+
+    # ragged arrays: out-of-range deref is MISSING (null), never an ANSI
+    # error; dict simple form registers the variable for nested auto-dives
+    ragged = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [5]), (3, [])], "id long, arr array<long>"
+    )
+    out2 = jx.run(
+        {"from": "r", "select": [
+            "id",
+            {"name": "third", "value": {"get": ["arr", 2]}},
+            {"name": "lastd", "value": {"get": {"arr": -1}}},
+        ], "sort": "id"},
+        {"r": ragged},
+    ).collect()
+    assert [(r["third"], r["lastd"]) for r in out2] == [
+        (30, 30), (None, 5), (None, None)]
+
+    nested = spark.createDataFrame(
+        [(1, [{"tags": ["a", "b"]}, {"tags": ["c"]}])],
+        "id long, items array<struct<tags: array<string>>>",
+    )
+    dive = jx.run(
+        {"from": "n", "select": [
+            {"name": "t0", "value": {"get": {"items.tags": 0}}}],
+         "where": {"exists": "items.tags"}},
+        {"n": nested},
+    ).collect()
+    assert sorted(r["t0"] for r in dive) == ["a", "c"]
 
 
 def test_run_formatted_list_table_cube(frames):

@@ -103,6 +103,26 @@ def test_typed_encode_prefer_nested_promotion(spark):
     assert got[2]["a"] == {"~e~": 1, "~N~": [{"~e~": 1, "z": {"~n~": 4}}]}
 
 
+def test_typed_encode_stateful_root_level_array_history(spark):
+    """Array history at the DOCUMENT ROOT (path ()) must survive the path
+    serialization round-trip: a root-level scalar object in a dataset that
+    also contains root-level arrays gets the promoted nested shape."""
+    from activedata_etl_spark.functions.normalize import typed_encode_stateful
+
+    docs = [
+        (1, json.dumps([{"z": 1}, {"z": 2}])),
+        (2, json.dumps({"z": 3})),
+    ]
+    df = spark.createDataFrame(docs, "id long, js string")
+    got = [json.loads(r["typed"])
+           for r in typed_encode_stateful(df, "js").orderBy("id").collect()]
+    assert got[0] == {"~e~": 2, "~N~": [{"~e~": 1, "z": {"~n~": 1}},
+                                        {"~e~": 1, "z": {"~n~": 2}}]}
+    # the single root object is PROMOTED because the column has root-array
+    # history
+    assert got[1] == {"~e~": 1, "~N~": [{"~e~": 1, "z": {"~n~": 3}}]}
+
+
 def test_typed_decode_new_shapes(spark):
     from activedata_etl_spark.functions.normalize import typed_decode_udf
 

@@ -409,6 +409,40 @@ def test_near_dup_clusters_raises_on_non_convergence(spark):
     assert set(got.values()) == {0}
 
 
+def test_short_docs_have_no_shingles(spark):
+    """Docs with fewer than n tokens produce an EMPTY shingle set (matching
+    the oracle's generate_series guard) — not a descending [1,0] sequence
+    whose element_at(toks, 0) throws under ANSI mode."""
+    from activedata_etl_spark.operators.dedup import minhash_lsh_pairs, shingled
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, ""),
+         (4, "three whole tokens here"), (5, "three whole tokens here")],
+        "doc_id long, text string",
+    )
+    sh = {r["id"]: r["sh"] for r in shingled(df, "doc_id", "text").collect()}
+    # shingled drops shingle-less docs (where size > 0) instead of crashing
+    assert set(sh) == {4, 5} and len(sh[4]) == 2
+    # the full pipeline survives short docs and still pairs the real dups
+    out = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(4, 5)}
+
+
+def test_ivf_seed_rows_large_ids_no_overflow(spark, emb):
+    """seed-row centroid hashing reduces id mod P before multiplying —
+    snowflake-scale ids must not overflow int64 under ANSI mode."""
+    from activedata_etl_spark.operators.similarity import ivf_ann_topk
+
+    big = emb.select(
+        (F.col("vec_id") + F.lit(1 << 40).cast("long")).alias("vec_id"),
+        "embedding",
+    )
+    q = big.where(F.col("vec_id") < (1 << 40) + 5)
+    out = ivf_ann_topk(big, q, k=3, n_centroids=4, n_probe=2,
+                       centroids="seed_rows").collect()
+    assert out and all(r["neighbor_id"] >= (1 << 40) for r in out)
+
+
 def test_near_dup_clusters_log_rounds_on_deep_chain(spark):
     """Pointer jumping: a 200-node path component (diameter 199) must
     converge within O(log n) rounds — label reach grows as 2^(k+1)-1 per
