@@ -18,7 +18,13 @@ date literal (DateOp :840, unix seconds), variable (dot path), first/last,
 count, tuple, union (set-union of scalar terms, UnionOp :2908), unix/
 from_unix, type casts boolean/integer/number/string + is_* checks
 (:1529-1755; value-based cast tests — jx is dynamically typed, SQL is
-schema-typed), script.
+schema-typed), script, get (positional/field deref), null, match_all,
+plus every registry alias (sum/minus/mult/divide/neq/instr/postfix/regexp/
+term/terms/basic.*, registry :3239-3310).  add/mul honor the BaseMultiOp
+``nulls``/``default`` clauses (:1915-2007): conservative (any operand
+missing -> default) by default, decisive (nulls ignored via op identity,
+default only when ALL missing) with ``"nulls": true``; div/mod use try_*
+so a zero divisor is missing, not an ANSI error.
 
 Clauses: select (incl. aggregate form + leaves), where, groupby, edges
 (domain binning: set w/ explicit partitions, numeric interval, time duration
@@ -205,18 +211,45 @@ def _time_bound(b) -> _dt.datetime:
 _CMP = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
 
 
+# registry aliases (jx_base/expressions.py:3239-3310): second names for the
+# same operator class.  basic.add/basic.mul are the strict "CAN NOT DEAL
+# WITH NULLS" variants (expressions.py:3071) — exactly the conservative
+# no-clause fold below, so they collapse onto add/mul.
+_OP_ALIASES = {
+    "divide": "div", "minus": "sub", "subtract": "sub", "mult": "mul",
+    "multiply": "mul", "sum": "add", "basic.add": "add", "basic.mul": "mul",
+    "neq": "ne", "instr": "find", "postfix": "suffix", "regexp": "regex",
+    "term": "eq", "terms": "in",
+}
+# clause keys that ride alongside the operator key in the same dict
+_EXPR_CLAUSES = ("nulls", "default")
+
+
 def compile_expr(e: Any, env: dict | None = None) -> Column:
     """jx expression JSON -> Catalyst Column (jx_expression analog)."""
     if e is None or e is True or e is False or isinstance(e, (int, float)):
         return F.lit(e)
     if isinstance(e, str):  # bare string = variable (dot path)
         return _var(e, env)
-    if not isinstance(e, dict) or len(e) != 1:
+    if not isinstance(e, dict):
         raise ValueError(f"cannot compile jx expression: {e!r}")
-    (op, args), = e.items()
+    clauses = {}
+    if len(e) != 1:
+        clauses = {k: v for k, v in e.items() if k in _EXPR_CLAUSES}
+        body = {k: v for k, v in e.items() if k not in _EXPR_CLAUSES}
+        if len(body) != 1:
+            raise ValueError(f"cannot compile jx expression: {e!r}")
+        (op, args), = body.items()
+    else:
+        (op, args), = e.items()
+    op = _OP_ALIASES.get(op, op)
 
     if op == "literal":
         return F.lit(args)
+    if op == "null":
+        return F.lit(None)
+    if op == "match_all":
+        return F.lit(True)
     if op == "date":
         return F.lit(_parse_date_unix(args))
     if op == "eq":
@@ -299,13 +332,40 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
         return out if out is not None else default
     if op in ("add", "sub", "mul", "div", "mod", "exp"):
         cs = [compile_expr(a, env) for a in args]
-        out = cs[0]
-        for c in cs[1:]:
-            out = {
-                "add": out + c, "sub": out - c, "mul": out * c,
-                "div": out / c, "mod": out % c, "exp": out ** c,
-            }[op]
-        return out
+
+        def fold(cols):
+            out = cols[0]
+            for c in cols[1:]:
+                out = {
+                    "add": out + c, "sub": out - c, "mul": out * c,
+                    # try_*: zero divisor is MISSING (-> default), not the
+                    # ANSI DIVIDE_BY_ZERO error (DivOp default semantics)
+                    "div": F.try_divide(out, c), "mod": F.try_mod(out, c),
+                    "exp": out ** c,
+                }[op]
+            return out
+
+        default = (
+            compile_expr(clauses["default"], env)
+            if "default" in clauses else F.lit(None)
+        )
+        if clauses.get("nulls") and op in ("add", "mul"):
+            # DECISIVE (BaseMultiOp nulls=true, expressions.py:1978-1991):
+            # nulls are ignored via the op identity; result is `default`
+            # only when ALL operands are null
+            ident = F.lit(0 if op == "add" else 1)
+            out = fold([F.coalesce(c, ident) for c in cs])
+            all_missing = cs[0].isNull()
+            for c in cs[1:]:
+                all_missing = all_missing & c.isNull()
+            return F.when(all_missing, default).otherwise(out)
+        if "default" in clauses:
+            # CONSERVATIVE with default: any operand missing -> default
+            any_missing = cs[0].isNull()
+            for c in cs[1:]:
+                any_missing = any_missing | c.isNull()
+            return F.when(any_missing, default).otherwise(fold(cs))
+        return fold(cs)
     if op == "floor":
         # {"floor": [x, interval]} — floor to multiple (FloorOp:1067)
         x = compile_expr(args[0], env)

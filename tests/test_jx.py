@@ -569,6 +569,35 @@ def test_get_op(frames, spark):
     assert sorted(r["t0"] for r in dive) == ["a", "c"]
 
 
+def test_op_aliases_and_null_clauses(frames):
+    """Registry aliases (jx_base/expressions.py:3239-3310) resolve to the
+    same operators; add/mul honor the nulls/default clauses (BaseMultiOp:
+    CONSERVATIVE any-missing->default vs DECISIVE all-missing->default)."""
+    rows = jx.run({"from": "t", "select": [
+        "i",
+        {"name": "s", "value": {"sum": ["i", "i"]}},          # sum -> add
+        {"name": "m", "value": {"mult": ["i", 3]}},           # mult -> mul
+        {"name": "d", "value": {"divide": ["i", 2]}},         # divide -> div
+        {"name": "z", "value": {"divide": ["i", 0]}},         # /0 -> null
+        {"name": "cons", "value": {"add": ["v", 1], "default": -1}},
+        {"name": "dec", "value": {"add": ["v", {"null": {}}], "nulls": True,
+                                  "default": -1}},
+    ], "sort": "i"}, frames).collect()
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[1]["s"] == 2 and by_i[1]["m"] == 3 and by_i[2]["d"] == 1.0
+    assert all(r["z"] is None for r in rows)
+    # v is null on row i=4: conservative -> default; decisive ignores it
+    assert by_i[4]["cons"] == -1 and by_i[1]["cons"] == 11.0
+    assert by_i[4]["dec"] == -1 and by_i[1]["dec"] == 10.0
+
+    a = jx.run({"from": "t", "where": {"term": {"g": "x"}}}, frames)
+    b = jx.run({"from": "t", "where": {"terms": {"g": ["x", "y"]}}}, frames)
+    c = jx.run({"from": "t", "where": {"match_all": {}}}, frames)
+    assert a.count() == 2 and b.count() == 4 and c.count() == 5
+    d = jx.run({"from": "t", "where": {"regexp": {"g": "x|z"}}}, frames)
+    assert d.count() == 3
+
+
 def test_run_formatted_list_table_cube(frames):
     """Result shaping (jx_python/jx.py:106-115; es52/format.py): list is row
     dicts, table is header+rows, cube is per-select matrices indexed by edge
