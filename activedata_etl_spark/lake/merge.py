@@ -37,6 +37,10 @@ from activedata_etl_spark.operators.lww import lww_reduce, lww_reduce_structmax
 
 ENVELOPE_DROP = ["op", "partition"]  # journal envelope not stored in the table
 
+# consolidate per-commit lineage dirs into one file past this many entries
+# (keeps snapshot JSON + read_lineage O(1) instead of O(batches ever applied))
+LINEAGE_CONSOLIDATE_AT = 256
+
 LINEAGE_SCHEMA = (
     "batch_id long, partition int, min_offset long, max_offset long, "
     "rows_read long, below_watermark long, invalid_events long, "
@@ -89,6 +93,22 @@ def apply_batch(
     snap = table.snapshot()
     key_cols = snap["key_cols"]
 
+    # ---- pin key dtypes to the table's stored types --------------------
+    # bucket = pmod(hash(keys), N) and F.hash(int) != F.hash(long) for equal
+    # values, so a batch whose key column arrives wider (or narrower) than
+    # the table's would file the same key under a DIFFERENT bucket than its
+    # existing row — two live rows per key that no merge ever reconciles.
+    # try_cast: an unrepresentable key becomes null and is quarantined below
+    # (ANSI cast would abort the whole batch instead).
+    from pyspark.sql import types as T
+
+    tbl_types = {f.name: f.dataType
+                 for f in T.StructType.fromJson(snap["schema"]).fields}
+    for k in key_cols:
+        if k in batch.columns and k in tbl_types \
+                and batch.schema[k].dataType != tbl_types[k]:
+            batch = batch.withColumn(k, F.col(k).try_cast(tbl_types[k]))
+
     # ---- epoch fence: a replayed batch is a no-op ----------------------
     if batch_id <= int(snap["batch_id"]):
         return {"batch_id": batch_id, "skipped": True, "reason": "epoch_fenced"}
@@ -109,6 +129,12 @@ def apply_batch(
     #      rollover_index.py:74-77; poison-pill rejection, etl.py:309-350) --
     invalid = F.lit(False)
     for c in validate_cols:
+        if c in batch.columns:
+            invalid = invalid | F.col(c).isNull()
+    # a CDC event without a full key is malformed: it cannot be bucketed or
+    # merged (and would otherwise emit a ghost all-null row through the
+    # full-outer join's key_cols[0].isNotNull() presence test)
+    for c in key_cols:
         if c in batch.columns:
             invalid = invalid | F.col(c).isNull()
     max_event_ts = snap.get("max_event_ts")  # epoch seconds, event-time WM
@@ -147,7 +173,11 @@ def apply_batch(
                     F.sum(F.col("__below").cast("long")).alias("below_watermark"),
                     F.sum(F.col("__invalid").cast("long")).alias("invalid_events"),
                     F.sum(F.col("__late").cast("long")).alias("late_events"),
-                    (F.max(F.unix_timestamp(ts_col)) if has_ts else F.lit(None).cast("long")).alias("max_ts"),
+                    # valid rows only: one corrupt future-dated event must
+                    # NOT advance the event-time watermark (it would make
+                    # every later real event "late" forever)
+                    (F.max(F.when(~drop_row, F.unix_timestamp(ts_col)))
+                     if has_ts else F.lit(None).cast("long")).alias("max_ts"),
                     F.collect_set(
                         F.when(~drop_row, F.col(BUCKET_COL))
                     ).alias("buckets"),
@@ -169,7 +199,8 @@ def apply_batch(
                 F.sum(F.col("__late").cast("long")).alias("late_events"),
                 F.min(offset_col).alias("min_offset"),
                 F.max(offset_col).alias("max_offset"),
-                (F.max(F.unix_timestamp(ts_col)) if has_ts else F.max(F.lit(None).cast("long"))).alias("max_ts"),
+                (F.max(F.when(~drop_row, F.unix_timestamp(ts_col)))
+                 if has_ts else F.max(F.lit(None).cast("long"))).alias("max_ts"),
             )
 
         t_pre = time.time()
@@ -525,7 +556,26 @@ def _commit(
     new["schema"] = schema_json
     new["batch_id"] = batch_id
     new["watermarks"] = {str(k): int(v) for k, v in new_wm.items()}
-    new["lineage_dirs"] = snap.get("lineage_dirs", []) + [lineage_rel]
+    lineage_dirs = snap.get("lineage_dirs", []) + [lineage_rel]
+    if len(lineage_dirs) > LINEAGE_CONSOLIDATE_AT:
+        # one dir per commit makes the snapshot JSON and read_lineage cost
+        # O(total batches ever applied) — at 10^10-event scale (~40k
+        # batches) that is unbounded hot-path metadata growth.  Fold the
+        # older dirs into ONE consolidated parquet (driver-side pyarrow;
+        # the inputs are one tiny file each).  Old dirs stay on disk for
+        # older snapshots until expire_snapshots prunes them.
+        keep = LINEAGE_CONSOLIDATE_AT // 4
+        old_dirs, tail = lineage_dirs[:-keep], lineage_dirs[-keep:]
+        consolidated = pa.concat_tables([
+            pq.read_table(os.path.join(table.location, d))
+            for d in old_dirs
+        ])
+        crel = f"lineage/c{new_version}"
+        cdir = os.path.join(table.location, crel)
+        os.makedirs(cdir, exist_ok=True)
+        pq.write_table(consolidated, os.path.join(cdir, "lineage.parquet"))
+        lineage_dirs = [crel] + tail
+    new["lineage_dirs"] = lineage_dirs
     if max_event_ts is not None:
         new["max_event_ts"] = int(max_event_ts)
     bucket_dirs = dict(snap["bucket_dirs"])

@@ -88,12 +88,51 @@ class RolloverSink:
              .parquet(os.path.join(self.location, "_too_old")))
         return {"rejected_too_old": n_old}
 
+    def _floor(self, t: dt.datetime) -> dt.datetime:
+        """Floor a timestamp to the rollover interval (date_trunc analog)."""
+        iv = self.rollover_interval
+        day0 = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        if iv == "year":
+            return day0.replace(month=1, day=1)
+        if iv == "quarter":
+            return day0.replace(month=(t.month - 1) // 3 * 3 + 1, day=1)
+        if iv == "month":
+            return day0.replace(day=1)
+        if iv == "week":  # date_trunc week = Monday
+            return day0 - dt.timedelta(days=t.weekday())
+        if iv == "day":
+            return day0
+        if iv == "hour":
+            return t.replace(minute=0, second=0, microsecond=0)
+        if iv == "minute":
+            return t.replace(second=0, microsecond=0)
+        raise ValueError(f"unsupported rollover interval: {iv!r}")
+
+    def _next(self, start: dt.datetime) -> dt.datetime:
+        """Exclusive end of the partition beginning at ``start``."""
+        iv = self.rollover_interval
+        if iv in ("year", "quarter", "month"):
+            months = {"year": 12, "quarter": 3, "month": 1}[iv]
+            m = start.month - 1 + months
+            return start.replace(year=start.year + m // 12, month=m % 12 + 1)
+        step = {"week": dt.timedelta(weeks=1), "day": dt.timedelta(days=1),
+                "hour": dt.timedelta(hours=1),
+                "minute": dt.timedelta(minutes=1)}[iv]
+        return start + step
+
     def read(self, since: dt.datetime | None = None) -> DataFrame:
         """Scan, optionally bounded below — the partition filter prunes whole
-        directories (verify with .explain: PartitionFilters on __rollover)."""
+        directories (verify with .explain: PartitionFilters on __rollover).
+
+        ``since`` is floored to the rollover interval first: the boundary
+        partition (whose name precedes ``since`` but whose rows may not)
+        must stay in the scan; the row-level bound rides on top."""
         out = self.spark.read.parquet(os.path.join(self.location, "data"))
         if since is not None:
-            out = out.where(F.col(PART_COL) >= since.strftime(PART_FMT))
+            out = out.where(
+                (F.col(PART_COL) >= self._floor(since).strftime(PART_FMT))
+                & (F.col(self.rollover_field) >= F.lit(since))
+            )
         return out
 
     def partitions(self) -> list[str]:
@@ -109,10 +148,15 @@ class RolloverSink:
         if self.rollover_max is None:
             return []
         now = self._now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        horizon = (now - self.rollover_max).strftime(PART_FMT)
+        horizon = now - self.rollover_max
         removed = []
         for p in self.partitions():
-            if p < horizon:
+            start = dt.datetime.strptime(p, PART_FMT)
+            # the whole partition must be past the horizon: its newest
+            # possible row is just under start + interval, so compare the
+            # partition END — comparing the start would delete partitions
+            # still holding rows inside the retention window
+            if self._next(start) <= horizon:
                 shutil.rmtree(
                     os.path.join(self.location, "data", f"{PART_COL}={p}"),
                     ignore_errors=True,

@@ -82,6 +82,14 @@ class SnapshotTable:
         os.makedirs(t.meta_dir, exist_ok=True)
         if t.current_version() is not None:
             raise FileExistsError(f"table already exists at {location}")
+        if DELETED_COL not in {f.name for f in schema.fields}:
+            # every table carries the tombstone marker: apply_batch's merge
+            # expressions reference it unconditionally, and a table created
+            # without it would fail analysis mid-batch
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(DELETED_COL, T.BooleanType(), True)]
+            )
         snap = {
             "version": 0,
             "parent": None,
@@ -331,6 +339,15 @@ class SnapshotTable:
                 rel = f"data/{d}"
                 if rel not in live_dirs:
                     shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed.append(rel)
+        # lineage dirs orphaned by consolidation (merge.py folds old
+        # per-commit dirs into one) or by snapshot expiry
+        lin_root = os.path.join(self.location, "lineage")
+        if os.path.isdir(lin_root):
+            for d in os.listdir(lin_root):
+                rel = f"lineage/{d}"
+                if rel not in live_dirs:
+                    shutil.rmtree(os.path.join(lin_root, d), ignore_errors=True)
                     removed.append(rel)
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):

@@ -55,6 +55,23 @@ def _version_struct(version_cols: list[str]):
     return F.struct(*[F.col(c) for c in version_cols])
 
 
+def _join_back_winners(df: DataFrame, win: DataFrame, keys: list[str]) -> DataFrame:
+    """Null-safe winner join-back: groupBy keeps null-key groups, so the
+    payload join must match them too — a plain column-name equi-join drops
+    every null-key event (null != null), silently diverging from the
+    single-pass strategies that never leave the groupBy."""
+    ren = win.select(
+        *[F.col(k).alias(f"__wk_{i}") for i, k in enumerate(keys)],
+        F.col("__v").alias("__wv"),
+    )
+    cond = F.col("__v").eqNullSafe(F.col("__wv"))
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__wk_{i}"))
+    return df.join(ren, cond, "inner").drop(
+        *[f"__wk_{i}" for i in range(len(keys))], "__wv"
+    )
+
+
 def lww_reduce(
     df: DataFrame,
     keys: list[str] | None = None,
@@ -73,7 +90,7 @@ def lww_reduce(
     version_cols = version_cols or DEFAULT_VERSION
     v = _version_struct(version_cols)
     win = df.groupBy(*keys).agg(F.max(v).alias("__v"))
-    cand = df.withColumn("__v", v).join(win, [*keys, "__v"], "inner")
+    cand = _join_back_winners(df.withColumn("__v", v), win, keys)
     w = W.partitionBy(*keys).orderBy(F.desc("__v"))
     return (
         cand.withColumn("__rn", F.row_number().over(w))
@@ -166,7 +183,7 @@ def lww_reduce_salted(
     )
     phase1 = salted.groupBy(*keys, "__salt").agg(F.max(v).alias("__v"))
     win = phase1.groupBy(*keys).agg(F.max("__v").alias("__v"))
-    cand = df.withColumn("__v", v).join(win, [*keys, "__v"], "inner")
+    cand = _join_back_winners(df.withColumn("__v", v), win, keys)
     w = W.partitionBy(*keys).orderBy(F.desc("__v"))
     return (
         cand.withColumn("__rn", F.row_number().over(w))

@@ -112,18 +112,42 @@ def replay_journal(
         return {"batches": 0, "events": 0, "elapsed_sec": 0.0, "events_per_sec": 0.0}
 
     n_chunks = int(max_offset // chunk_events) + 1
+    # chunks entirely below the backfill range are NOT iterated: committing
+    # them (even metadata-only) would advance the batch fence / watermarks
+    # past events that were never applied, fencing them out of later replays
+    first_chunk = 0 if offset_range is None else offset_range[0] // chunk_events
+    if offset_range is not None and offset_range[0] > 0:
+        # the batch fence and per-partition watermarks are CONTIGUOUS
+        # frontiers: applying a range that leaves a gap below it would mark
+        # the skipped offsets as done and silently drop them from every
+        # later replay.  Backfill is repair/catch-up — it must start at or
+        # below the frontier; reject forward gaps loudly.
+        frontier = max(table.watermarks().values(), default=-1)
+        if offset_range[0] > frontier + 1:
+            raise ValueError(
+                f"offset_range starts at {offset_range[0]} but the table's "
+                f"applied frontier is {frontier}: a forward gap would fence "
+                "out the skipped events; start the backfill at or below "
+                f"{frontier + 1}"
+            )
     done_through = table.last_batch_id()
     partitions: list[int] = meta["partitions"]
     t0 = time.time()
     total_read = total_applied = ran = 0
     summaries = []
-    for i in range(n_chunks):
+    for i in range(first_chunk, n_chunks):
         if i <= done_through:
             continue  # resume: already committed
         if max_batches is not None and ran >= max_batches:
             break
         lo, hi = i * chunk_events, (i + 1) * chunk_events - 1
         chunk = journal.where(F.col("offset").between(lo, hi))
+        # analytic watermark claims are only safe for chunks FULLY inside
+        # the replayed range — a partially-covered boundary chunk would
+        # claim offsets the range filter excluded; fall back to no claim
+        # (full mode computes watermarks from the rows actually applied)
+        claim_hi = hi if offset_range is None else min(hi, offset_range[1])
+        full_cover = offset_range is None or lo >= offset_range[0]
         # key normalization pre-reduce; lang/sha256 only on LWW winners
         s = apply_batch(
             table, normalize_keys(chunk), i, salted=salted,
@@ -131,7 +155,8 @@ def replay_journal(
             finalize_fn=finalize_records, persist=persist,
             lineage_level=lineage_level, lww_strategy=lww_strategy,
             precomputed_watermarks=(
-                {p: hi for p in partitions} if lineage_level == "summary" else None
+                {p: claim_hi for p in partitions}
+                if lineage_level == "summary" and full_cover else None
             ),
         )
         summaries.append(s)

@@ -18,16 +18,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = (
-    "repo string, n_events long, n_deletes long, max_commit_seq long"
-)
 STATE_SCHEMA = "n long, d long, m long"
 
 
-def keyed_running_counts(stream: DataFrame, key_col: str = "repo") -> DataFrame:
-    """Cumulative (events, deletes, max commit_seq) per key across ALL
+def keyed_running_counts(
+    stream: DataFrame,
+    key_col: str = "repo",
+    *,
+    op_col: str = "op",
+    seq_col: str = "commit_seq",
+) -> DataFrame:
+    """Cumulative (events, deletes, max seq) per key across ALL
     micro-batches seen so far — emitted in `update` mode each time a key
-    receives events."""
+    receives events.  The output key column carries ``key_col``'s name (a
+    hardcoded name would mislabel e.g. path-keyed counts as repos)."""
+    out_schema = (
+        f"{key_col} string, n_events long, n_deletes long, max_commit_seq long"
+    )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         n = d = m = 0
@@ -35,13 +42,14 @@ def keyed_running_counts(stream: DataFrame, key_col: str = "repo") -> DataFrame:
             n, d, m = state.get
         for pdf in pdfs:
             n += len(pdf)
-            d += int((pdf["op"] == "delete").sum())
-            m = max(m, int(pdf["commit_seq"].max()))
+            d += int((pdf[op_col] == "delete").sum())
+            m = max(m, int(pdf[seq_col].max()))
         state.update((n, d, m))
         yield pd.DataFrame(
-            [{"repo": key[0], "n_events": n, "n_deletes": d, "max_commit_seq": m}]
+            [{key_col: key[0], "n_events": n, "n_deletes": d,
+              "max_commit_seq": m}]
         )
 
     return stream.groupBy(key_col).applyInPandasWithState(
-        fn, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        fn, out_schema, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )

@@ -176,3 +176,110 @@ def test_summary_mode_incremental_merge_touches_few_buckets(spark, tmp_path):
     assert s1["touched_buckets"] == 1
     got = {r["path"]: r["content"] for r in table.read().collect()}
     assert got["f7.py"] == "NEW" and len(got) == 40
+
+
+def test_invalid_event_cannot_poison_event_time_watermark(spark, tmp_path):
+    """A quarantined (invalid) event carrying a far-future timestamp must NOT
+    advance max_event_ts — it would make every later real event 'late' and
+    quarantine the whole stream forever."""
+    import datetime as dt
+
+    loc = str(tmp_path / "lake_wm_poison")
+    b1 = spark.createDataFrame(
+        [
+            (0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X",
+             dt.datetime(2024, 1, 1)),
+            # null repo -> invalid -> quarantined; ts year 2100
+            (0, 1, 1, "insert", None, "evil.py", "d" * 12, None, "Y",
+             dt.datetime(2100, 1, 1)),
+        ],
+        COLS_V1,
+    )
+    table = ensure_table(spark, loc, b1.schema)
+    apply_batch(table, _norm(b1), 0, late_threshold_sec=3600)
+    lin = table.read_lineage().where("partition = -1").collect()
+    assert lin[-1]["invalid_events"] == 1
+    snap = table.snapshot()
+    assert snap.get("max_event_ts") == int(dt.datetime(
+        2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # the stream keeps ingesting: a normal next-day event is NOT late
+    b2 = spark.createDataFrame(
+        [(0, 2, 2, "insert", "r", "b.py", "e" * 12, None, "Z",
+          dt.datetime(2024, 1, 2))],
+        COLS_V1,
+    )
+    s2 = apply_batch(table, _norm(b2), 1, late_threshold_sec=3600)
+    assert s2["rows_applied"] == 1
+    lin2 = table.read_lineage().where("partition = -1").orderBy("batch_id").collect()
+    assert lin2[-1]["late_events"] == 0
+    # and no ghost all-null row leaked from the invalid event
+    assert {r["path"] for r in table.read().collect()} == {"a.py", "b.py"}
+
+
+def test_key_dtype_pinned_to_table_schema(spark, tmp_path):
+    """A batch whose key column arrives with a different physical type must
+    bucket identically to the table's existing rows — otherwise the same key
+    lives twice (F.hash(int) != F.hash(long) for equal values)."""
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    loc = str(tmp_path / "lake_keypin")
+    table = SnapshotTable.create(spark, loc, schema, key_cols=["id"])
+    b1 = spark.createDataFrame(
+        [(0, "insert", 7, 0, 0, "old")],
+        "partition int, op string, id int, offset long, commit_seq long, v string")
+    apply_batch(table, b1, 0, validate_cols=(), version_cols=("commit_seq", "offset"))
+    b2 = spark.createDataFrame(
+        [(0, "insert", 7, 1, 1, "new")],
+        "partition int, op string, id long, offset long, commit_seq long, v string")
+    apply_batch(table, b2, 1, validate_cols=(), version_cols=("commit_seq", "offset"))
+    rows = table.read().collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(7, "new")]
+
+
+def test_create_without_deleted_col_still_merges(spark, tmp_path):
+    """SnapshotTable.create adds the tombstone column when the caller's
+    schema lacks it — apply_batch references it unconditionally."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    loc = str(tmp_path / "lake_nodel")
+    table = SnapshotTable.create(spark, loc, schema, key_cols=["id"])
+    b = spark.createDataFrame(
+        [(0, "insert", 1, 0, 0, "x")],
+        "partition int, op string, id long, offset long, commit_seq long, v string")
+    s = apply_batch(table, b, 0, validate_cols=(), version_cols=("commit_seq", "offset"))
+    assert s["rows_applied"] == 1
+    assert table.read().count() == 1
+
+
+def test_lineage_dirs_consolidate(spark, tmp_path, monkeypatch):
+    """Per-commit lineage dirs fold into one consolidated parquet past the
+    threshold; history is preserved and expire_snapshots prunes orphans."""
+    import activedata_etl_spark.lake.merge as M
+
+    monkeypatch.setattr(M, "LINEAGE_CONSOLIDATE_AT", 4)
+    loc = str(tmp_path / "lake_lin")
+    table = None
+    for i in range(7):
+        b = spark.createDataFrame(
+            [(0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, "X", None)],
+            COLS_V1,
+        )
+        if table is None:
+            table = ensure_table(spark, loc, b.schema)
+        apply_batch(table, _norm(b), i)
+    snap = table.snapshot()
+    assert len(snap["lineage_dirs"]) <= 4 + 1
+    lin = table.read_lineage()
+    # the full per-batch history survives consolidation (summary row per batch)
+    assert lin.where("partition = -1").count() == 7
+    removed = table.expire_snapshots(keep_last=1)
+    assert any(r.startswith("lineage/") for r in removed)
+    assert table.read_lineage().where("partition = -1").count() == 7

@@ -58,6 +58,41 @@ def test_backfill_offset_range(spark, tmp_path):
     assert max(wm.values()) <= 1023
 
 
+def test_backfill_forward_gap_rejected_catchup_converges(spark, tmp_path):
+    """The batch fence and watermarks are CONTIGUOUS frontiers, so a backfill
+    range that would leave a gap below it is rejected loudly (silently
+    committing past the gap would fence those events out of every later
+    replay); a bounded prefix + catch-up converges to the full replay."""
+    import pytest
+
+    jd = str(tmp_path / "j")
+    write_journal(spark, 2048, jd)
+    loc_full = str(tmp_path / "full")
+    replay_journal(spark, jd, loc_full, chunk_events=512)
+    want = {
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in SnapshotTable(spark, loc_full).read()
+        .select("repo", "path", "content_sha256").collect()
+    }
+    # a tail range on a fresh table = forward gap -> loud error, no commits
+    loc = str(tmp_path / "bf")
+    with pytest.raises(ValueError, match="forward gap"):
+        replay_journal(spark, jd, loc, chunk_events=512,
+                       offset_range=(1024, 2047))
+    # legit: bounded prefix, then an extension from the frontier, then full
+    r1 = replay_journal(spark, jd, loc, chunk_events=512, offset_range=(0, 1023))
+    assert r1["batches"] == 2
+    r2 = replay_journal(spark, jd, loc, chunk_events=512,
+                        offset_range=(1024, 2047))
+    assert r2["batches"] == 2  # starts AT chunk 2 - no empty re-commits of 0-1
+    got = {
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in SnapshotTable(spark, loc).read()
+        .select("repo", "path", "content_sha256").collect()
+    }
+    assert got == want
+
+
 def test_split_sink(spark, tmp_path):
     from activedata_etl_spark.functions.normalize import normalize_batch
     from activedata_etl_spark.streaming.replay import split_sink
@@ -137,11 +172,26 @@ def test_rollover_sink_routing_and_expiry(spark, tmp_path):
     # bounded read prunes partitions
     assert {r["id"] for r in sink.read(since=dt.datetime(2024, 5, 1)).collect()} == {1, 2}
 
+    # boundary read: a since INSIDE a partition keeps that partition's rows
+    # at-or-after since (the May 20 row must survive since=May 10)
+    assert {r["id"] for r in sink.read(since=dt.datetime(2024, 5, 10)).collect()} == {1, 2}
+
     # advance the clock: March ages out of the 120-day horizon
     sink._now = dt.datetime(2024, 8, 1)
     removed = sink.expire()
     assert removed == ["20240301_000000"]
     assert {r["id"] for r in sink.read().collect()} == {1, 2}
+
+    # boundary expiry: horizon lands INSIDE May (2024-09-15 - 120d = May 18);
+    # the May partition still holds rows younger than the horizon is NOT
+    # comparable by its start — whole-partition delete only when its END has
+    # passed (May 20 row would be silently destroyed otherwise)
+    sink._now = dt.datetime(2024, 9, 15)
+    assert sink.expire() == []
+    assert {r["id"] for r in sink.read().collect()} == {1, 2}
+    sink._now = dt.datetime(2024, 10, 15)   # horizon Jun 17: May fully past
+    assert sink.expire() == ["20240501_000000"]
+    assert {r["id"] for r in sink.read().collect()} == {1}
 
 
 def test_rollover_write_is_single_scan(spark, tmp_path):

@@ -151,6 +151,32 @@ def test_lww_strategies_agree(spark):
     pd.testing.assert_frame_equal(a[cols], d[cols].reset_index(drop=True))
 
 
+def test_lww_strategies_agree_on_null_keys(spark):
+    """Null-key rows must survive EVERY strategy identically: the join-back
+    strategies use a null-safe winner join (a plain equi-join would drop the
+    null-key group that groupBy keeps, silently diverging from structmax)."""
+    from activedata_etl_spark.operators.lww import lww_reduce_structmax
+
+    rows = [
+        (None, "a.py", 1, 0, "v1"),
+        (None, "a.py", 2, 1, "v2"),       # winner of the null-repo key
+        ("r", None, 3, 2, "w1"),
+        ("r", None, 4, 3, "w2"),          # winner of the null-path key
+        ("r", "b.py", 5, 4, "x1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit_seq long, offset long, v string"
+    )
+    kw = dict(keys=["repo", "path"], version_cols=["commit_seq", "offset"])
+    want = {(r["repo"], r["path"]): r["v"]
+            for r in lww_reduce_structmax(df, **kw).collect()}
+    assert want == {(None, "a.py"): "v2", ("r", None): "w2", ("r", "b.py"): "x1"}
+    for fn in (lww_reduce, lww_reduce_window, lww_reduce_maxby,
+               lambda d, **k: lww_reduce_salted(d, salt_buckets=4, **k)):
+        got = {(r["repo"], r["path"]): r["v"] for r in fn(df, **kw).collect()}
+        assert got == want, fn
+
+
 def test_lww_partitioning_invariance(spark):
     j = journal_df(spark, 1024)
     a = lww_reduce(j.repartition(17)).orderBy("repo", "path").toPandas()
