@@ -75,7 +75,13 @@ def content_sha256(content: Column) -> Column:
 
 def nullify_empty_strings(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """'' -> null for string columns (mo_dots missing-value semantics)."""
-    targets = columns or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    # `columns is None` -> every string column; an explicit [] means NONE
+    # (`columns or default` would silently widen a no-op call to all columns)
+    targets = (
+        [f.name for f in df.schema.fields
+         if f.dataType.simpleString() == "string"]
+        if columns is None else columns
+    )
     exprs = []
     for f_ in df.schema.fields:
         if f_.name in targets:

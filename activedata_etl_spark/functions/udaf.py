@@ -22,7 +22,9 @@ def mode_agg(v: pd.Series) -> str:
     reference's count_values argmax."""
     if v.empty:
         return None
-    counts = v.value_counts()
+    counts = v.value_counts()  # drops NaN: an all-null group ends up empty
+    if counts.empty:
+        return None
     top = counts[counts == counts.max()]
     return sorted(top.index)[0]
 

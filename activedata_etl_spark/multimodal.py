@@ -106,7 +106,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                         for b in payloads
                     ],
                     "feature": [
-                        _decode_stub(b, k) for b, k in zip(payloads, kinds)
+                        # null payload -> null feature (the sha/n_bytes
+                        # columns guard the same way; the decode stub would
+                        # otherwise raise on None and kill the stage)
+                        _decode_stub(b, k) if b is not None else None
+                        for b, k in zip(payloads, kinds)
                     ],
                 }
             )
@@ -177,7 +181,8 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 1
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
-                if rec["kind"] != "video" or rec["payload"] is None:
+                if rec["kind"] != "video" or rec["payload"] is None \
+                        or rec["meta"] is None:
                     continue
                 duration = int(rec["meta"]["duration_ms"] or 0)
                 n = min(max(duration // every_ms, 1), max_frames)

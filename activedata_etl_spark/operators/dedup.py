@@ -69,6 +69,10 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h = F.sha2(F.col(text_col), 256).alias("content_hash")
     return (
         df.select(h, F.col(id_col))
+        # null-content docs have NO established identity: sha2(null) = null
+        # and groupBy buckets nulls together, which would report every
+        # null-text doc as a byte-identical duplicate of the others
+        .where(F.col("content_hash").isNotNull())
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -136,36 +140,31 @@ def ngram_jaccard_pairs(
     # writes); with it every shingle-keyed consumer hangs off a single
     # ReusedExchange, and the cap join is co-partitioned (no extra shuffle)
     ex = sh.select("id", F.explode("sh").alias("shingle")).repartition("shingle")
-    # per-doc shingle counts off the SAME exchange (shingles are distinct
-    # per doc, so the exploded count equals size(sh)) instead of two more
-    # document scans for the n_a/n_b join-backs
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_freq is not None:
         freq = ex.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
         ex = ex.join(freq.select("shingle"), "shingle")
     a = ex.select(F.col("id").alias("id_a"), "shingle")
     b = ex.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
+    # candidates from the (capped) exploded frame; scores from the FULL
+    # shingle sets — the cap prunes candidate generation only, it must not
+    # bias the jaccard of surviving pairs downward (same discipline as the
+    # minhash verify: exact scores on candidate pairs)
+    cand = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - n_inter
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(n_inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(

@@ -37,7 +37,11 @@ def norm(a):
 
 
 def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm vectors (missing/failed embeddings) must yield NULL, not
+    # 0/0=NaN: Spark sorts NaN ABOVE every real number and NaN >= t is
+    # true, so a NaN score would rank first in every top-k and pass every
+    # threshold filter; null sorts last under desc and fails predicates
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_topk(
@@ -64,6 +68,7 @@ def cosine_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .where(F.col("score").isNotNull())
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -162,6 +167,7 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .where(F.col("score").isNotNull())
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -327,6 +333,7 @@ def ivf_ann_topk(
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .where(F.col("score").isNotNull())
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -828,9 +828,10 @@ FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 
 
 # stop-shingle frequency cap: shingles shared by more than this many docs
-# are dropped from candidate generation — the skew guard that keeps one hot
-# shingle from creating a quadratic join key at web scale.  The oracle
-# applies the IDENTICAL cap (doc sizes stay uncapped on both sides).
+# are dropped from CANDIDATE GENERATION only — the skew guard that keeps one
+# hot shingle from creating a quadratic join key at web scale; jaccard is
+# then computed over the FULL shingle sets of surviving candidates (exact
+# scores, no downward bias).  The oracle applies the identical shape.
 JACCARD_MAX_SHINGLE_FREQ = 100
 
 
@@ -855,17 +856,19 @@ ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
 keep AS (SELECT shingle FROM ex0 GROUP BY shingle
          HAVING count(*) <= {JACCARD_MAX_SHINGLE_FREQ}),
 ex AS (SELECT doc_id, shingle FROM ex0 JOIN keep USING (shingle)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM ex a JOIN ex b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-FROM inter
+       round(len(list_intersect(sa.s, sb.s)) /
+             (sa.n_sh + sb.n_sh - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+FROM cand
 JOIN sized sa ON sa.doc_id = id_a
 JOIN sized sb ON sb.doc_id = id_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+WHERE round(len(list_intersect(sa.s, sb.s)) /
+            (sa.n_sh + sb.n_sh - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
 ORDER BY id_a, id_b
 """
 
@@ -896,15 +899,16 @@ ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
 keep AS (SELECT shingle FROM ex0 GROUP BY shingle
          HAVING count(*) <= {JACCARD_MAX_SHINGLE_FREQ}),
 ex AS (SELECT doc_id, shingle FROM ex0 JOIN keep USING (shingle)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM ex a JOIN ex b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  WHERE a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT id_a, id_b FROM inter
+  SELECT id_a, id_b FROM cand
   JOIN sized sa ON sa.doc_id = id_a
   JOIN sized sb ON sb.doc_id = id_b
-  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+  WHERE round(len(list_intersect(sa.s, sb.s)) /
+              (sa.n_sh + sb.n_sh - len(list_intersect(sa.s, sb.s))), 6) >= 0.5
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs

@@ -26,19 +26,31 @@ def bulk_action_lines(
 ) -> DataFrame:
     """One output row per document: (action_line, source_line).
 
-    - `_id` is the joined key (the reference builds ids by joining key parts,
-      `get_encoder` elasticsearch.py:1434-1463);
-    - `version` must be a single monotone int for `external_gte`: the version
-      tuple is collapsed as ``first * scale + second`` (the reference's
-      versions are already scalar ES external versions).
+    - `_id` is the key rendered as JSON (the reference builds ids by joining
+      key parts, `get_encoder` elasticsearch.py:1434-1463 — but a plain
+      ':'-join collides: concat_ws silently skips null parts and the
+      delimiter may appear inside a part; JSON escaping is unambiguous);
+    - `version` must be a single monotone int for `external_gte`: the
+      version tuple is collapsed as ``first * scale + second``.  The
+      collapse is only monotone while ``second < version_scale``, so rows
+      violating it raise instead of silently writing a version that ES
+      would judge stale (size ``version_scale`` to the journal: e.g. max
+      offsets per commit_seq).
     """
-    _id = F.concat_ws(":", *[F.col(c) for c in id_cols])
+    _id = F.to_json(F.struct(*[F.col(c) for c in id_cols]))
     if len(version_cols) == 1:
         version = F.col(version_cols[0]).cast("long")
     else:
-        version = (
-            F.col(version_cols[0]).cast("long") * version_scale
-            + F.col(version_cols[1]).cast("long")
+        second = F.col(version_cols[1]).cast("long")
+        version = F.when(
+            second < F.lit(version_scale),
+            F.col(version_cols[0]).cast("long") * version_scale + second,
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"es_bulk version overflow: {version_cols[1]}="),
+                second.cast("string"),
+                F.lit(f" >= version_scale={version_scale}; raise version_scale"),
+            ))
         )
     action = F.to_json(
         F.struct(

@@ -84,6 +84,12 @@ def parse_unified_diff(diff_text: str) -> list[dict]:
                         deleted_file = True
                 continue
             if not ln:
+                # an empty line INSIDE a hunk is an empty context line whose
+                # leading ' ' was stripped in transit (mail clients/editors
+                # trim trailing whitespace); skipping it without advancing
+                # the cursors would shift every later change in the hunk
+                new_i += 1
+                old_i += 1
                 continue
             if any(ln.startswith(p) for p in _SKIP_PREFIXES):
                 in_hunk = False

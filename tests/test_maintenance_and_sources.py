@@ -279,6 +279,46 @@ def _git_diff(path_a, path_b, a_text, b_text, extra_header=None):
     return head + body
 
 
+def test_diff_blank_context_line_keeps_positions(spark):
+    """Mail clients strip the trailing whitespace off ' ' context lines,
+    leaving '' inside a hunk; it must still advance BOTH line cursors or
+    every later change in the hunk lands one line early."""
+    from activedata_etl_spark.sources.diff import apply_changes, parse_unified_diff
+
+    old = "one\n\nthree\nfour"
+    diff = (
+        "diff --git a/f.txt b/f.txt\n"
+        "--- a/f.txt\n"
+        "+++ b/f.txt\n"
+        "@@ -1,4 +1,4 @@\n"
+        " one\n"
+        "\n"                    # stripped empty context line (was ' ')
+        " three\n"
+        "-four\n"
+        "+FOUR\n"
+    )
+    (ev,) = parse_unified_diff(diff)
+    assert apply_changes(old, ev["changes"]) == "one\n\nthree\nFOUR"
+
+
+def test_cosine_zero_vector_never_ranks(spark):
+    """A zero-norm embedding yields NULL cosine (not NaN, which Spark sorts
+    ABOVE every number): it must not appear as anyone's nearest neighbor nor
+    pass a >= threshold near-dup filter."""
+    from activedata_etl_spark.operators.dedup import embedding_neardup_lsh
+    from activedata_etl_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id = 0")
+    top = cosine_topk(emb, q, k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [1]  # zero vector filtered
+    pairs = embedding_neardup_lsh(
+        emb, "vec_id", "embedding", threshold=0.5, n_planes=2
+    ).collect()
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
 def test_diff_parse_apply_roundtrip(spark):
     """Unified diff -> change events -> apply == new content; reversed apply
     restores the old content (mo_hg/parse.py:35-174 + apply.py:85-161)."""
@@ -355,9 +395,28 @@ def test_es_bulk_formatter(spark, tmp_path):
     )
     rows = bulk_action_lines(df).orderBy("action_line").collect()
     a0 = json.loads(rows[0]["action_line"])
-    assert a0["index"]["_id"] == "r1:a.py"
+    # _id is the key as JSON: null parts and delimiter chars cannot collide
+    assert json.loads(a0["index"]["_id"]) == {"repo": "r1", "path": "a.py"}
     assert a0["index"]["version_type"] == "external_gte"
     assert a0["index"]["version"] == 5 * 1_000_000 + 2
+    # distinct keys with null parts / embedded ':' stay distinct
+    tricky = spark.createDataFrame(
+        [(None, "x", 1, 0, "A"), ("x", None, 1, 0, "B"),
+         ("a:b", "c", 1, 0, "C"), ("a", "b:c", 1, 0, "D")],
+        "repo string, path string, commit_seq long, offset long, content string",
+    )
+    ids = [json.loads(r["action_line"])["index"]["_id"]
+           for r in bulk_action_lines(tricky).collect()]
+    assert len(set(ids)) == 4
+    # offset >= version_scale must raise, not write a stale-looking version
+    import pytest as _pytest
+
+    big = spark.createDataFrame(
+        [("r", "p", 1, 2_000_000, "Z")],
+        "repo string, path string, commit_seq long, offset long, content string",
+    )
+    with _pytest.raises(Exception, match="version overflow"):
+        bulk_action_lines(big).collect()
     s0 = json.loads(rows[0]["source_line"])
     assert s0 == {"repo": "r1", "path": "a.py", "commit_seq": 5, "offset": 2,
                   "content": "X"}
