@@ -235,6 +235,13 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
         raise ValueError(f"cannot compile jx expression: {e!r}")
     clauses = {}
     if len(e) != 1:
+        if "when" in e and ("then" in e or "else" in e):
+            # canonical WhenOp serialization: then/else as SIBLING keys
+            # (jx_base/expressions.py:2795 __data__)
+            return F.when(
+                compile_expr(e["when"], env),
+                compile_expr(e.get("then"), env),
+            ).otherwise(compile_expr(e.get("else"), env))
         clauses = {k: v for k, v in e.items() if k in _EXPR_CLAUSES}
         body = {k: v for k, v in e.items() if k not in _EXPR_CLAUSES}
         if len(body) != 1:
@@ -243,6 +250,17 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
     else:
         (op, args), = e.items()
     op = _OP_ALIASES.get(op, op)
+    if clauses and op not in ("add", "sub", "mul", "div", "mod", "exp"):
+        # generic clause semantics for every other operator (FindOp etc.
+        # carry a first-class `default`): default replaces a MISSING result.
+        # Silently ignoring a clause would return wrong values with no
+        # signal; `nulls` is only defined for the multi ops — reject it.
+        if "nulls" in clauses:
+            raise ValueError(f'"nulls" clause not supported for {op!r}')
+        return F.coalesce(
+            compile_expr({op: args}, env),
+            compile_expr(clauses["default"], env),
+        )
 
     if op == "literal":
         return F.lit(args)
@@ -331,6 +349,11 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
             out = F.when(cond, then).otherwise(out if out is not None else default)
         return out if out is not None else default
     if op in ("add", "sub", "mul", "div", "mod", "exp"):
+        if isinstance(args, dict):
+            # binary simple form {"div": {var: literal}}
+            # (BaseBinaryOp has_simple_form, jx_base/expressions.py)
+            ((k_, v_),) = args.items()
+            args = [k_, v_]
         cs = [compile_expr(a, env) for a in args]
 
         def fold(cols):
@@ -360,11 +383,16 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
                 all_missing = all_missing & c.isNull()
             return F.when(all_missing, default).otherwise(out)
         if "default" in clauses:
-            # CONSERVATIVE with default: any operand missing -> default
+            # CONSERVATIVE with default: any operand missing -> default;
+            # coalesce also routes a null RESULT (zero divisor under
+            # try_divide/try_mod — DivOp.missing() includes rhs=0,
+            # expressions.py:990-994) to the default
             any_missing = cs[0].isNull()
             for c in cs[1:]:
                 any_missing = any_missing | c.isNull()
-            return F.when(any_missing, default).otherwise(fold(cs))
+            return F.when(any_missing, default).otherwise(
+                F.coalesce(fold(cs), default)
+            )
         return fold(cs)
     if op == "floor":
         # {"floor": [x, interval]} — floor to multiple (FloorOp:1067)
@@ -694,7 +722,12 @@ def _domain_parts(edge: dict):
     if typ in ("time", "duration"):
         interval = dom.get("interval", "day")
         if isinstance(interval, (int, float)):
-            return _interval_parts(lo, hi, interval)
+            # numeric-seconds interval bins to floor(unix/interval)*interval
+            # (a NUMBER): bounds may be date STRINGS — parse them to unix
+            # first (math.floor("2024-01-01" / 3600) is a TypeError)
+            return _interval_parts(
+                _parse_date_unix(lo), _parse_date_unix(hi), interval
+            )
         secs = _duration_seconds(interval)
         if secs is not None:
             # counted duration ("6week"): buckets on the numeric unix grid,
@@ -728,9 +761,19 @@ def _coerce_part(p, dt):
     return p
 
 
+def _sel_name(sel: dict) -> str:
+    """Output column name of an aggregate select: explicit name, else the
+    value path, else the aggregate keyword — the SAME fallback everywhere
+    (naming and zero-fill must agree or dense buckets lose their 0s)."""
+    return sel.get("name") or (
+        sel.get("value") if isinstance(sel.get("value"), str)
+        else sel.get("aggregate", "count")
+    )
+
+
 def _agg_col(sel: dict, env: dict | None = None) -> Column:
     agg = sel.get("aggregate", "count")
-    name = sel.get("name") or (sel.get("value") if isinstance(sel.get("value"), str) else agg)
+    name = _sel_name(sel)
     if agg == "count" and sel.get("value") in (None, "."):
         return F.count(F.lit(1)).alias(name)
     v = compile_expr(sel["value"], env)
@@ -788,6 +831,11 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
                 df = df.withColumn(win["name"], val)
                 continue
             agg = win.get("aggregate", "count")
+            if val is None and agg not in ("rownum", "rank"):
+                # value-less window agg (e.g. per-partition row count):
+                # count every row — and the where clause must still gate
+                # contribution, so it needs a real expression to null out
+                val = F.lit(1)
             if "where" in win and val is not None:
                 # window where: only matching rows CONTRIBUTE to the
                 # accumulator (jx_base/query.py:605 window slot)
@@ -873,6 +921,17 @@ def run_formatted(query: dict, frames: dict[str, DataFrame]) -> dict:
         }
     if fmt == "cube":
         edges = query.get("edges")
+        # groupby keys become axes too (a key column left in sel_names would
+        # share one edge coordinate across its rows and last-write-wins
+        # would silently corrupt every matrix); their domain comes from data
+        groupby = query.get("groupby") or []
+        groupby = groupby if isinstance(groupby, list) else [groupby]
+        edges = (list(edges) if edges else []) + [
+            g if isinstance(g, str) else {
+                "name": g.get("name") or g["value"], "value": g["value"],
+            }
+            for g in groupby
+        ]
         if not edges:
             return {
                 "meta": {"format": "cube"},
@@ -898,11 +957,11 @@ def run_formatted(query: dict, frames: dict[str, DataFrame]) -> dict:
             indexers.append((name, idx))
         dims = [len(ix) for _, ix in indexers]
         sel_names = [c for c in cols if c not in {n for n, _ in indexers}]
-        sels = query.get("select")
+        sels = query.get("select") or {"name": "count", "aggregate": "count"}
         zero = set()
-        for s in (sels if isinstance(sels, list) else [sels]) if sels else []:
+        for s in (sels if isinstance(sels, list) else [sels]):
             if isinstance(s, dict) and s.get("aggregate", "count") in _ZERO_FILL:
-                zero.add(s.get("name"))
+                zero.add(_sel_name(s))
 
         def matrix(dims, fill):
             if not dims:
@@ -950,7 +1009,7 @@ def _densify(grouped: DataFrame, dense: list, sels: list) -> DataFrame:
         )
         dom = pdf if dom is None else dom.crossJoin(pdf)
     # group keys that are NOT dense edges: keep observed combos
-    agg_names = [s.get("name") or (s.get("value") if isinstance(s.get("value"), str) else s.get("aggregate")) for s in sels]
+    agg_names = [_sel_name(s) for s in sels]
     other_keys = [c for c in grouped.columns if c not in dense_names and c not in agg_names]
     if other_keys:
         dom = dom.crossJoin(grouped.select(*other_keys).distinct())
@@ -963,7 +1022,7 @@ def _densify(grouped: DataFrame, dense: list, sels: list) -> DataFrame:
     # broadcasts the build side of the join; leave it to AQE, which sees the
     # actual sizes
     out = dom.join(g, cond, "left")
-    zero = [s.get("name") for s in sels if s.get("aggregate", "count") in _ZERO_FILL]
+    zero = [_sel_name(s) for s in sels if s.get("aggregate", "count") in _ZERO_FILL]
     final = [dom[n] for n in dense_names + other_keys] + [
         F.coalesce(F.col(a), F.lit(0)).alias(a) if a in zero else F.col(a)
         for a in agg_names

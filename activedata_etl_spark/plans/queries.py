@@ -823,7 +823,8 @@ WITH corpus AS (
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
 )
 SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
+FROM corpus WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 """
 
 
@@ -1463,7 +1464,4 @@ ORACLE_SQL = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "typed_json_props": ORACLE_TYPED_JSON,
-    # sim_ann_ivf: model-defined (trained kmeans centroids reach the plan as
-    # data, not as expressions), rows-only driver check (pytest verifies
-    # recall against the exact top-k and BLAS/Catalyst path parity)
 }

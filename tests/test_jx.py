@@ -598,6 +598,82 @@ def test_op_aliases_and_null_clauses(frames):
     assert d.count() == 3
 
 
+def test_when_sibling_form_and_op_default_clauses(frames):
+    """Canonical WhenOp serialization puts then/else as SIBLING keys
+    (expressions.py:2795); default clauses on non-arithmetic ops replace a
+    MISSING result (FindOp default); binary simple dict form {"div": {v: c}}
+    carries BOTH operands; a zero divisor routes to the default."""
+    rows = jx.run({"from": "t", "select": [
+        "i",
+        {"name": "w", "value": {"when": {"gt": {"i": 3}}, "then": 1,
+                                "else": 0}},
+        {"name": "f", "value": {"find": {"tag": "q"}, "default": -1}},
+        {"name": "h", "value": {"div": {"i": 2}}},
+        {"name": "z", "value": {"div": ["i", 0], "default": 99}},
+    ], "sort": "i"}, frames).collect()
+    by_i = {r["i"]: r for r in rows}
+    assert [by_i[i]["w"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 1]
+    assert by_i[3]["f"] == 0 and by_i[1]["f"] == -1  # tag=q found / missing
+    assert by_i[4]["h"] == 2.0
+    assert all(r["z"] == 99 for r in rows)  # /0 is missing -> default
+    with pytest.raises(ValueError, match="nulls"):
+        jx.compile_expr({"find": {"tag": "q"}, "nulls": True})
+
+
+def test_window_count_without_value(frames):
+    """A value-less window aggregate counts rows per partition (a natural
+    jx window) instead of crashing in F.count(None)."""
+    out = jx.run({"from": "t", "window": {
+        "name": "n", "edges": ["g"], "aggregate": "count"}}, frames).collect()
+    got = {(r["g"], r["n"]) for r in out}
+    assert got == {("x", 2), ("y", 2), ("z", 1)}
+
+
+def test_time_domain_numeric_interval_string_bounds(spark):
+    """Time domain with numeric-seconds interval and DATE-STRING bounds:
+    _domain_parts must parse the bounds (it crashed in floor(str/int)); the
+    dense output covers every hour bucket."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 30)), (2, dt.datetime(2024, 1, 1, 2, 10))],
+        "id long, ts timestamp",
+    )
+    out = jx.run({"from": "d", "edges": [
+        {"name": "h", "value": "ts",
+         "domain": {"type": "time", "interval": 3600,
+                    "min": "2024-01-01", "max": "2024-01-01 03:00:00"}}],
+        "select": {"name": "n", "aggregate": "count"}}, {"d": df}).collect()
+    by_h = {r["h"]: r["n"] for r in out}
+    base = jx._parse_date_unix("2024-01-01")
+    # dense: all 3 hour buckets present, middle one zero-filled
+    assert by_h[base] == 1 and by_h[base + 3600] == 0 and by_h[base + 7200] == 1
+
+
+def test_zero_fill_unnamed_count_select(frames):
+    """Zero-fill must key on the ACTUAL output column name (value/aggregate
+    fallback), not only an explicit "name"."""
+    out = jx.run({"from": "t", "edges": [
+        {"name": "g", "value": "g",
+         "domain": {"type": "set", "partitions": ["x", "y", "w"]}}],
+        "select": {"value": "v", "aggregate": "count"}}, frames).collect()
+    got = {r["g"]: r["v"] for r in out}
+    assert got["w"] == 0  # empty bucket zero-fills though select is unnamed
+
+
+def test_run_formatted_cube_with_groupby(frames):
+    """format=cube with groupby keys: the keys become axes (leaving them as
+    select matrices would last-write-wins-overwrite cells)."""
+    cube = jx.run_formatted({
+        "from": "t", "groupby": ["g"],
+        "select": {"name": "n", "aggregate": "count"},
+        "format": "cube",
+    }, frames)
+    assert [a["name"] for a in cube["edges"]] == ["g"]
+    assert cube["edges"][0]["domain"]["partitions"] == ["x", "y", "z"]
+    assert cube["data"]["n"] == [2, 2, 1, 0]  # null bucket last, zero-filled
+
+
 def test_run_formatted_list_table_cube(frames):
     """Result shaping (jx_python/jx.py:106-115; es52/format.py): list is row
     dicts, table is header+rows, cube is per-select matrices indexed by edge
