@@ -5,7 +5,7 @@ Deploy (north rule: `spark-submit --py-files` on a multi-executor cluster):
     cd <repo> && zip -r /tmp/engine.zip activedata_etl_spark
     spark-submit --master <cluster> --py-files /tmp/engine.zip \
         --num-executors N --executor-cores C --executor-memory 8g \
-        -m activedata_etl_spark.main  # or: path to this file
+        activedata_etl_spark/main.py \
         replay --journal s3://.../journal --table s3://.../lake
 
 Subcommands mirror the reference's process entry points

@@ -10,6 +10,7 @@ the parallelism level instead of the 200 default.
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,18 @@ def get_spark_submit(app_name: str, shuffle_partitions: int | None = None) -> Sp
     return spark
 
 
+def _mem_mb(mem: str) -> int:
+    """Memory string -> MB for the local-cluster master spec.  Accepts
+    '4g'/'4G'/'4096m'/'4096M'/'4' (bare number = GB); anything else raises
+    (int('4G'.rstrip('g')) used to crash on uppercase and silently mis-size
+    bare numbers)."""
+    m = _re.fullmatch(r"\s*(\d+)\s*([gGmM]?)\s*", str(mem))
+    if not m:
+        raise ValueError(f"unsupported memory string: {mem!r}")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    return n if unit == "m" else n * 1024
+
+
 def get_spark(
     app_name: str = "activedata_etl_spark",
     parallelism: int | str | None = None,
@@ -64,7 +77,7 @@ def get_spark(
     executor_java_opts = None
     if cpus and "x" in str(cpus):
         execs, cores = str(cpus).split("x")
-        mem_mb = int(executor_mem.rstrip("g")) * 1024
+        mem_mb = _mem_mb(executor_mem)
         master = f"local-cluster[{execs},{cores},{mem_mb}]"
         total_cores = int(execs) * int(cores)
         # make each executor an honest C-core container: the JVM sizes its
@@ -89,15 +102,10 @@ def get_spark(
     )
     if executor_java_opts:
         b = b.config("spark.executor.extraJavaOptions", executor_java_opts)
+    for k, v in tuning_conf(n_shuffle).items():
+        b = b.config(k, v)
     b = (
         b
-        .config("spark.sql.shuffle.partitions", str(n_shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "zstd")
         # smaller input splits: keep wide parallelism on modest batch sizes
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         # let AQE turn the LWW join-back into a broadcast join when the

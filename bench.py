@@ -47,33 +47,66 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # 17x LESS cpu than 32 processes) — so executor processes are the honest
 # stand-in for cluster executors.
 LEVELS = os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "1x2,4x2").split(",")
+if len(LEVELS) != 2:
+    raise SystemExit(
+        f"SPARK_GRAFT_BENCH_LEVELS must be 'small,big' (two ExC specs), got {LEVELS!r}"
+    )
 SMALL_SPEC, BIG_SPEC = LEVELS[0], LEVELS[1]
 
 
-def _burn(q):
+def _burn(q, threads: int = 1):
     import hashlib
-    h = hashlib.sha256()
-    data = b"x" * 65536
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < 2.0:
-        h.update(data)
-        n += 1
-    q.put(n)
+    def one(out):
+        h = hashlib.sha256()
+        data = b"x" * 65536
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 2.0:
+            h.update(data)
+            n += 1
+        out.append(n)
+
+    import threading
+
+    counts: list = []
+    ts = [threading.Thread(target=one, args=(counts,)) for _ in range(threads)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    q.put(sum(counts))
 
 
-def cpu_capacity(procs: int) -> float:
-    """sha256-loop throughput achievable with `procs` separate processes —
-    the machine's parallel-compute capacity at that process count."""
+def cpu_capacity(spec: str) -> float:
+    """sha256-loop throughput with the SAME process x thread shape as the
+    Spark level: E executor processes each burning C threads — measuring
+    only process count would mis-state the capacity of any ExC level whose
+    cores-per-executor differ (this sandbox caps CPU per process, so both
+    dimensions matter)."""
+    execs, cores = _shape(spec)
     q = mp.Queue()
-    ps = [mp.Process(target=_burn, args=(q,)) for _ in range(procs)]
+    ps = [mp.Process(target=_burn, args=(q, cores)) for _ in range(execs)]
     [p.start() for p in ps]
-    [p.join() for p in ps]
-    return float(sum(q.get() for _ in ps))
+    total, got = 0.0, 0
+    for _ in ps:
+        try:
+            total += q.get(timeout=30)  # a dead burner must not hang the bench
+            got += 1
+        except Exception:
+            break
+    [p.join(timeout=5) for p in ps]
+    if got < len(ps):
+        print(f"warn: capacity probe got {got}/{len(ps)} burners", file=sys.stderr)
+    return total
+
+
+def _shape(spec: str) -> tuple[int, int]:
+    if "x" in spec:
+        e, c = spec.split("x")
+        return int(e), int(c)
+    return int(spec), 1
 
 
 def _execs(spec: str) -> int:
-    return int(spec.split("x")[0]) if "x" in spec else int(spec)
+    return _shape(spec)[0]
 
 
 def replay_subprocess(par: str, journal: str, lake: str, salted: bool = False) -> dict:
@@ -87,8 +120,13 @@ def replay_subprocess(par: str, journal: str, lake: str, salted: bool = False) -
     out = subprocess.run(
         args, capture_output=True, text=True, env=env, timeout=1200
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench_replay {par} failed (rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 def _measure(par: str, journal: str, workdir: str, tag: str, salted: bool = False) -> dict:
@@ -126,8 +164,8 @@ def main() -> None:
 
         # ---- hardware parallel-capacity probe -----------------------------
         e_small, e_big = _execs(SMALL_SPEC), _execs(BIG_SPEC)
-        cap_small = cpu_capacity(e_small)
-        cap_big = cpu_capacity(e_big)
+        cap_small = cpu_capacity(SMALL_SPEC)
+        cap_big = cpu_capacity(BIG_SPEC)
         cap_ratio = cap_big / cap_small if cap_small else float("nan")
 
         # ---- CDC replay at N and 4N executors (fresh JVMs, best of REPS,
