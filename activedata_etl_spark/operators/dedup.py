@@ -155,8 +155,12 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # ONE id-keyed exchange feeds BOTH verify joins: shingling is a per-row
+    # HOF subtree with no exchange of its own, so without this each join
+    # side re-tokenizes the whole corpus (the round-2 no-CSE lesson)
+    shr = sh.repartition("id")
+    sa = shr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
