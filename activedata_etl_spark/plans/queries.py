@@ -922,6 +922,42 @@ SELECT id, min(root) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """The decision a dedup pipeline actually consumes: every doc with its
+    cluster id and a kept flag — cluster representatives (id == component
+    min) and unclustered docs are kept, the rest dropped."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    pairs = DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+    )
+    cl = DD.near_dup_clusters(pairs)
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        d.join(cl, d["doc_id"] == cl["id"], "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_KEEP_LIST = (
+    ORACLE_JACCARD_CLUSTERS.rsplit("SELECT id, min(root)", 1)[0]
+    + """, closure AS (
+  SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
+ORDER BY d.doc_id
+"""
+)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard.  hash_fn="mix31"
     (sha256-prefix base + universal-hash permutations over 2^31-1) makes the
@@ -1403,6 +1439,7 @@ SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
+    "dedup_keep_list": dedup_keep_list,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -1451,6 +1488,7 @@ ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,
+    "dedup_keep_list": ORACLE_DEDUP_KEEP_LIST,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
