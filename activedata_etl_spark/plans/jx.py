@@ -372,6 +372,11 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
             compile_expr(clauses["default"], env)
             if "default" in clauses else F.lit(None)
         )
+        if clauses.get("nulls") and op not in ("add", "mul"):
+            # DECISIVE null handling is defined only for the multi ops
+            # (BaseMultiOp = add/mul); silently falling back to conservative
+            # on sub/div would return different values with no signal
+            raise ValueError(f'"nulls" clause not supported for {op!r}')
         if clauses.get("nulls") and op in ("add", "mul"):
             # DECISIVE (BaseMultiOp nulls=true, expressions.py:1978-1991):
             # nulls are ignored via the op identity; result is `default`
@@ -468,9 +473,11 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
                 col = col.getField(o)
         return col
     if op == "first":
-        return F.element_at(compile_expr(args, env), 1)
+        # try_element_at: empty array -> null (jx missing), not the ANSI
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT error
+        return F.try_element_at(compile_expr(args, env), F.lit(1))
     if op == "last":
-        return F.element_at(compile_expr(args, env), -1)
+        return F.try_element_at(compile_expr(args, env), F.lit(-1))
     if op == "count":  # scalar count of non-null items in tuple
         return F.size(F.filter(F.array(*[compile_expr(a, env) for a in args]),
                                lambda x: x.isNotNull()))
@@ -548,8 +555,13 @@ def _collect_vars(node: Any, out: set) -> None:
                 continue
             if k in ("eq", "ne", "gt", "gte", "lt", "lte", "in", "between",
                      "prefix", "suffix", "find", "left", "right", "not_left",
-                     "not_right", "split", "regex", "range",
-                     "rows") and isinstance(v, dict):
+                     "not_right", "split", "regex", "range", "rows",
+                     # registry aliases + binary math simple forms share the
+                     # {op: {var: literal}} dict shape
+                     "term", "terms", "neq", "instr", "postfix", "regexp",
+                     "add", "sub", "mul", "div", "mod", "exp", "divide",
+                     "minus", "mult", "multiply", "sum",
+                     ) and isinstance(v, dict):
                 out.update(v.keys())  # dict-form: keys are variables
             elif k == "get":
                 # {"get": [v, o...]} / {"get": {v: o}}: only the FIRST term

@@ -887,7 +887,7 @@ def dedup_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return DD.near_dup_clusters(pairs).orderBy("id")
 
 
-ORACLE_JACCARD_CLUSTERS = f"""
+_JACCARD_CLOSURE_CTES = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
 ), sh AS (
@@ -917,7 +917,10 @@ cand AS (
   SELECT src AS id, src AS root FROM edges
   UNION
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
-)
+)"""
+
+
+ORACLE_JACCARD_CLUSTERS = _JACCARD_CLOSURE_CTES + """
 SELECT id, min(root) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
@@ -944,9 +947,7 @@ def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_KEEP_LIST = (
-    ORACLE_JACCARD_CLUSTERS.rsplit("SELECT id, min(root)", 1)[0]
-    + """, closure AS (
+ORACLE_DEDUP_KEEP_LIST = _JACCARD_CLOSURE_CTES + """, closure AS (
   SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
 )
 SELECT d.doc_id,
@@ -955,7 +956,6 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
 ORDER BY d.doc_id
 """
-)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

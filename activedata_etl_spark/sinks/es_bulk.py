@@ -41,7 +41,10 @@ def bulk_action_lines(
     if len(version_cols) == 1:
         version = F.col(version_cols[0]).cast("long")
     else:
-        second = F.col(version_cols[1]).cast("long")
+        # a missing second component is the LOWEST tiebreak (0), not an
+        # overflow: null < scale is NULL and would fire the raise branch
+        # with a misleading message, killing the export for one bad row
+        second = F.coalesce(F.col(version_cols[1]).cast("long"), F.lit(0))
         version = F.when(
             second < F.lit(version_scale),
             F.col(version_cols[0]).cast("long") * version_scale + second,

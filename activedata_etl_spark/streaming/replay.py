@@ -105,7 +105,7 @@ def replay_journal(
     # max offset + partition set: footer stats driver-side for small
     # journals, one distributed column-pruned agg past ~2k files
     meta = journal_metadata(journal_dir, spark)
-    max_offset = meta["max_offset"]
+    max_offset = journal_max = meta["max_offset"]
     if offset_range is not None and max_offset is not None:
         max_offset = min(max_offset, offset_range[1])
     if max_offset is None:
@@ -116,20 +116,35 @@ def replay_journal(
     # them (even metadata-only) would advance the batch fence / watermarks
     # past events that were never applied, fencing them out of later replays
     first_chunk = 0 if offset_range is None else offset_range[0] // chunk_events
-    if offset_range is not None and offset_range[0] > 0:
+    frontier = (
+        max(table.watermarks().values(), default=-1)
+        if offset_range is not None else -1
+    )
+    if offset_range is not None and offset_range[0] > frontier + 1:
         # the batch fence and per-partition watermarks are CONTIGUOUS
         # frontiers: applying a range that leaves a gap below it would mark
         # the skipped offsets as done and silently drop them from every
         # later replay.  Backfill is repair/catch-up — it must start at or
         # below the frontier; reject forward gaps loudly.
-        frontier = max(table.watermarks().values(), default=-1)
-        if offset_range[0] > frontier + 1:
-            raise ValueError(
-                f"offset_range starts at {offset_range[0]} but the table's "
-                f"applied frontier is {frontier}: a forward gap would fence "
-                "out the skipped events; start the backfill at or below "
-                f"{frontier + 1}"
-            )
+        raise ValueError(
+            f"offset_range starts at {offset_range[0]} but the table's "
+            f"applied frontier is {frontier}: a forward gap would fence "
+            "out the skipped events; start the backfill at or below "
+            f"{frontier + 1}"
+        )
+    if offset_range is not None and frontier < offset_range[1] < journal_max \
+            and (offset_range[1] + 1) % chunk_events != 0:
+        # a mid-chunk UPPER bound would commit the boundary chunk's batch_id
+        # with only its head applied — the fence then skips that chunk in
+        # every later replay and its tail is silently lost forever
+        lo_ok = (offset_range[1] + 1) // chunk_events * chunk_events - 1
+        raise ValueError(
+            f"offset_range ends at {offset_range[1]}, inside chunk "
+            f"{offset_range[1] // chunk_events} (chunk_events="
+            f"{chunk_events}): committing a partially-applied chunk would "
+            f"fence out its tail; end the range at {lo_ok} or at the "
+            "journal end"
+        )
     done_through = table.last_batch_id()
     partitions: list[int] = meta["partitions"]
     t0 = time.time()

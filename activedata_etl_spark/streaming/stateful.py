@@ -32,8 +32,10 @@ def keyed_running_counts(
     micro-batches seen so far — emitted in `update` mode each time a key
     receives events.  The output key column carries ``key_col``'s name (a
     hardcoded name would mislabel e.g. path-keyed counts as repos)."""
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, n_events long, n_deletes long, max_commit_seq long"
+        f"{key_col} {key_type}, n_events long, n_deletes long, "
+        "max_commit_seq long"
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -598,6 +598,31 @@ def test_op_aliases_and_null_clauses(frames):
     assert d.count() == 3
 
 
+def test_first_last_empty_arrays_and_alias_drill(frames, spark):
+    """first/last on an empty array are MISSING (null), not an ANSI index
+    error; alias dict forms (term, binary math) register their variable for
+    the nested auto-dive."""
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, [])], "id long, arr array<long>"
+    )
+    out = jx.run({"from": "d", "select": [
+        "id",
+        {"name": "f", "value": {"first": "arr"}},
+        {"name": "l", "value": {"last": "arr"}},
+    ], "sort": "id"}, {"d": df}).collect()
+    assert [(r["f"], r["l"]) for r in out] == [(10, 20), (None, None)]
+
+    nested = spark.createDataFrame(
+        [(1, [{"tag": "x"}, {"tag": "y"}])],
+        "id long, items array<struct<tag: string>>",
+    )
+    hit = jx.run({"from": "n", "where": {"term": {"items.tag": "x"}}},
+                 {"n": nested})
+    assert hit.count() == 1
+    with pytest.raises(ValueError, match="nulls"):
+        jx.compile_expr({"sub": ["i", 1], "nulls": True})
+
+
 def test_when_sibling_form_and_op_default_clauses(frames):
     """Canonical WhenOp serialization puts then/else as SIBLING keys
     (expressions.py:2795); default clauses on non-arithmetic ops replace a

@@ -82,6 +82,11 @@ def test_backfill_forward_gap_rejected_catchup_converges(spark, tmp_path):
     # legit: bounded prefix, then an extension from the frontier, then full
     r1 = replay_journal(spark, jd, loc, chunk_events=512, offset_range=(0, 1023))
     assert r1["batches"] == 2
+    # a mid-chunk UPPER bound would commit a partially-applied chunk ->
+    # its tail would be fenced out of every later replay: reject loudly
+    with pytest.raises(ValueError, match="partially-applied"):
+        replay_journal(spark, jd, loc, chunk_events=512,
+                       offset_range=(1024, 1500))
     r2 = replay_journal(spark, jd, loc, chunk_events=512,
                         offset_range=(1024, 2047))
     assert r2["batches"] == 2  # starts AT chunk 2 - no empty re-commits of 0-1
