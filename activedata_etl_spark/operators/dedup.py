@@ -293,7 +293,9 @@ def minhash_lsh_pairs(
     # verify ONLY the candidate pairs: join each side's (distinct) shingle
     # set and compute Jaccard via array_intersect — O(candidates), not
     # O(all-pairs-sharing-a-shingle)
-    sh = shingled(df, id_col, text_col, n)
+    # one id-keyed exchange feeds BOTH verify sides (shingling is a per-row
+    # HOF subtree with no exchange of its own — same fix as ngram_jaccard)
+    sh = shingled(df, id_col, text_col, n).repartition("id")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -595,7 +597,11 @@ def embedding_neardup_lsh(
     """
     from activedata_etl_spark.operators import similarity as S
 
-    dim = len(df.select(vec_col).first()[0])
+    dim = S.probe_dim(df, vec_col)
+    if dim is None:  # empty corpus / all-null vectors: no pairs, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     buckets = F.array(*[
         S.hyperplane_bucket(
             F.col("vec"), n_planes=n_planes, dim=dim, seed=seed + 1000 * t,
@@ -656,7 +662,10 @@ def near_dup_clusters(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         F.col("src").alias("id"), F.least("src", "nmin").alias("label")
     ).localCheckpoint()
     changed = None
-    for i in range(max_iter):
+    # +1: a run whose labels converge exactly on round max_iter-1 reports
+    # changed>0 there — the extra round is the confirmation pass (changed==0)
+    # that proves it, so correct output is not rejected
+    for i in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")

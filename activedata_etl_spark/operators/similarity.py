@@ -18,6 +18,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality from the first NON-NULL vector; None when
+    the corpus is empty or all-null (callers return empty results instead
+    of crashing in len(None))."""
+    row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
+
+
 def dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -138,7 +146,11 @@ def lsh_ann_topk(
     corpus scale, and the corpus is never shuffled (queries broadcast)."""
     from pyspark.sql import Window as W
 
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = probe_dim(corpus, vec_col)
+    if dim is None:  # empty corpus: no neighbors, not a crash
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
 
     def buckets(vec):
         return F.array(

@@ -159,7 +159,11 @@ def _parse_date_unix(s) -> float:
         # WAY TOO BIG for a unix timestamp -> it was milliseconds (dates.py:282)
         return float(s) / 1000.0 if s > 9999999999 else float(s)
     v = s.strip().lower()
-    if v.replace(".", "", 1).isdigit() and len(v) in (9, 10, 12, 13):
+    # digit strings of >= 9 chars are unix seconds/millis (value-based ms
+    # heuristic, same as the numeric form — int and string spellings of one
+    # literal must agree); shorter ones fall through to the date formats
+    # (8 digits would be ambiguous with yyyymmdd)
+    if v.replace(".", "", 1).isdigit() and len(v) >= 9:
         return _parse_date_unix(float(v))
     m = _REL_RE.match(v)
     if m:
@@ -223,6 +227,18 @@ _OP_ALIASES = {
 }
 # clause keys that ride alongside the operator key in the same dict
 _EXPR_CLAUSES = ("nulls", "default")
+
+# ops whose {op: {var: literal}} dict form names a VARIABLE in the key —
+# derived from _OP_ALIASES so a new alias cannot silently miss the
+# nested-array auto-dive (get is handled separately: chained offsets)
+_DICT_FORM_BASE = frozenset((
+    "eq", "ne", "gt", "gte", "lt", "lte", "in", "between", "prefix",
+    "suffix", "find", "left", "right", "not_left", "not_right", "split",
+    "regex", "range", "rows", "add", "sub", "mul", "div", "mod", "exp",
+))
+_DICT_FORM_OPS = _DICT_FORM_BASE | {
+    a for a, t in _OP_ALIASES.items() if t in _DICT_FORM_BASE
+}
 
 
 def compile_expr(e: Any, env: dict | None = None) -> Column:
@@ -553,15 +569,7 @@ def _collect_vars(node: Any, out: set) -> None:
             if k in ("literal", "date", "script", "name", "aggregate",
                      "separator", "percentile"):
                 continue
-            if k in ("eq", "ne", "gt", "gte", "lt", "lte", "in", "between",
-                     "prefix", "suffix", "find", "left", "right", "not_left",
-                     "not_right", "split", "regex", "range", "rows",
-                     # registry aliases + binary math simple forms share the
-                     # {op: {var: literal}} dict shape
-                     "term", "terms", "neq", "instr", "postfix", "regexp",
-                     "add", "sub", "mul", "div", "mod", "exp", "divide",
-                     "minus", "mult", "multiply", "sum",
-                     ) and isinstance(v, dict):
+            if k in _DICT_FORM_OPS and isinstance(v, dict):
                 out.update(v.keys())  # dict-form: keys are variables
             elif k == "get":
                 # {"get": [v, o...]} / {"get": {v: o}}: only the FIRST term

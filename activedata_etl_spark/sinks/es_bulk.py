@@ -38,16 +38,31 @@ def bulk_action_lines(
       offsets per commit_seq).
     """
     _id = F.to_json(F.struct(*[F.col(c) for c in id_cols]))
+
+    def _required(col, name):
+        # a null version renders as a MISSING "version" field (to_json drops
+        # nulls) and ES rejects the item at POST time, far from here — fail
+        # at render time with the offending column named
+        return F.when(col.isNotNull(), col).otherwise(
+            F.raise_error(F.lit(
+                f"es_bulk: null version component {name!r}; every doc needs "
+                "a version for external_gte"
+            ))
+        )
+
     if len(version_cols) == 1:
-        version = F.col(version_cols[0]).cast("long")
+        version = _required(
+            F.col(version_cols[0]).cast("long"), version_cols[0]
+        )
     else:
         # a missing second component is the LOWEST tiebreak (0), not an
         # overflow: null < scale is NULL and would fire the raise branch
         # with a misleading message, killing the export for one bad row
         second = F.coalesce(F.col(version_cols[1]).cast("long"), F.lit(0))
+        first = _required(F.col(version_cols[0]).cast("long"), version_cols[0])
         version = F.when(
             second < F.lit(version_scale),
-            F.col(version_cols[0]).cast("long") * version_scale + second,
+            first * version_scale + second,
         ).otherwise(
             F.raise_error(F.concat(
                 F.lit(f"es_bulk version overflow: {version_cols[1]}="),

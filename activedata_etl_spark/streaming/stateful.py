@@ -45,7 +45,9 @@ def keyed_running_counts(
         for pdf in pdfs:
             n += len(pdf)
             d += int((pdf[op_col] == "delete").sum())
-            m = max(m, int(pdf[seq_col].max()))
+            mx = pdf[seq_col].max()
+            if pd.notna(mx):  # an all-null seq batch must not int(NaN)-crash
+                m = max(m, int(mx))
         state.update((n, d, m))
         yield pd.DataFrame(
             [{key_col: key[0], "n_events": n, "n_deletes": d,
