@@ -26,12 +26,14 @@ def skew_metrics(spark) -> dict | None:
 
     base = spark.sparkContext.uiWebUrl
     if not base:
+        print("warn: skew probe skipped — Spark UI is disabled", file=sys.stderr)
         return None
     try:
         app = get(f"{base}/api/v1/applications")[0]["id"]
         stages = get(f"{base}/api/v1/applications/{app}/stages?status=complete")
         stages = [s for s in stages if s.get("numCompleteTasks", 0) > 1]
         if not stages:
+            print("warn: skew probe found no multi-task stages", file=sys.stderr)
             return None
         s = max(stages, key=lambda x: x.get("shuffleReadBytes", 0))
         q = get(
@@ -48,7 +50,9 @@ def skew_metrics(spark) -> dict | None:
             "mean_task_ms": round(mean_ms, 1),
             "max_task_over_mean": round(max_ms / mean_ms, 2) if mean_ms else None,
         }
-    except Exception:
+    except Exception as e:
+        # never silent: the per-run skew gate going missing must be visible
+        print(f"warn: skew probe failed: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
 

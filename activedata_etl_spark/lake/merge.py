@@ -69,8 +69,30 @@ def apply_batch(
     lineage_level: str = "full",
     precomputed_watermarks: dict[int, int] | None = None,
     lww_strategy: str = "structmax",
+    merge_mode: str = "auto",
+    delta_fraction: float = 0.05,
 ) -> dict:
     """Apply one micro-batch of change events; returns a lineage summary.
+
+    ``merge_mode`` picks the physical write strategy:
+
+    - ``"cow"``: copy-on-write — full-outer merge + rewrite of every touched
+      bucket.  O(touched buckets) per batch: right for large batches, wrong
+      for steady-state small ones (a 1%-of-keys batch touches nearly every
+      bucket, so CoW rewrites the whole table — write amplification ≈
+      table/batch).
+    - ``"delta"``: MOR-lite — write ONLY the batch's LWW winners as delta
+      files per bucket; ``SnapshotTable.read`` LWW-merges base ∪ deltas on
+      the version columns, and ``compact()`` folds them back.  Write cost is
+      O(batch); read pays one extra hash-agg on delta-carrying buckets until
+      compaction.  Reference analog: incremental block re-extend that appends
+      and merges-on-read (`activedata_etl/sinks/s3_bucket.py:92-118`).
+      ``merge_conflicts_resolved`` is 0 here — conflicts resolve lazily at
+      read/compaction time.
+    - ``"auto"`` (default): delta when the batch's live rows are under
+      ``delta_fraction`` of the table's base rows (from snapshot metadata, no
+      scan), else CoW.  Falls back to CoW when the table is empty, row
+      accounting is unavailable, or ``version_cols`` mismatch the table's.
 
     ``batch`` carries the journal envelope (partition, offset, op) plus the
     record payload; everything except ``ENVELOPE_DROP`` is stored (version
@@ -322,6 +344,28 @@ def apply_batch(
 
         out_names = [f.name for f in merged_schema.fields]
 
+        mode = merge_mode
+        if mode not in ("auto", "cow", "delta"):
+            raise ValueError(f"merge_mode must be auto|cow|delta, got {mode!r}")
+        stored_version_cols = snap.get("version_cols")
+        if mode != "cow" and stored_version_cols \
+                and list(version_cols) != list(stored_version_cols):
+            # read-time LWW merges on the TABLE's version columns; a delta
+            # written under different ones would merge wrong — CoW instead
+            mode = "cow"
+        if mode == "auto":
+            base_rows = table.base_row_count()
+            if lineage_level == "full":
+                est = total_read - total_dropped  # live rows ≥ winners
+            elif reduced_persisted is not None:
+                est = reduced_persisted.count()  # already cached above
+            else:
+                est = None
+            if base_rows and est is not None and est < delta_fraction * base_rows:
+                mode = "delta"
+            else:
+                mode = "cow"
+
         if not table.existing_bucket_paths(touched):
             # no target data in any touched bucket: pure upsert, no join.
             # Deletes still land as tombstones so later stale arrivals lose.
@@ -356,6 +400,45 @@ def apply_batch(
                 schema_json=merged_schema.jsonValue(), changes=changes,
                 applied=applied, deletes=deletes, conflicts=0, t0=t0,
                 partition_col=partition_col, max_event_ts=new_max_event_ts,
+                version_cols=version_cols, mode="upsert",
+            )
+            s["pre_pass_ms"] = int((t_pre - t0) * 1000)
+            return s
+
+        if mode == "delta":
+            # ---- MOR-lite: append the winners as per-bucket delta files ----
+            # No target read, no join: write cost is O(batch).  The >= version
+            # guard is deferred to the read-time LWW reduce (max over the
+            # version struct), which resolves base-vs-delta and delta-vs-delta
+            # identically to the CoW merge expressions.
+            d_obs = Observation(f"delta_b{batch_id}")
+            result = src.select(*out_names, BUCKET_COL).observe(
+                d_obs,
+                F.sum((~F.coalesce(F.col(DELETED_COL), F.lit(False))).cast("long")).alias("applied"),
+                F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")).alias("deletes"),
+            )
+            new_version = snap["version"] + 1
+            rel = table.write_buckets(result, new_version)
+            try:
+                m = d_obs.get
+                applied, deletes = int(m["applied"] or 0), int(m["deletes"] or 0)
+            except Exception:
+                row = src.agg(
+                    F.sum((~F.coalesce(F.col(DELETED_COL), F.lit(False))).cast("long")),
+                    F.sum(F.coalesce(F.col(DELETED_COL), F.lit(False)).cast("long")),
+                ).first()
+                applied, deletes = int(row[0] or 0), int(row[1] or 0)
+            part_rows, new_max_event_ts = _summary_counters(
+                pre_obs, part_rows, batch_id, partition_col,
+                new_max_event_ts, table, flagged,
+            )
+            s = _commit(
+                table, snap, batch_id, new_wm, part_rows,
+                table.written_buckets(rel), rel,
+                schema_json=merged_schema.jsonValue(), changes=changes,
+                applied=applied, deletes=deletes, conflicts=0, t0=t0,
+                partition_col=partition_col, max_event_ts=new_max_event_ts,
+                version_cols=version_cols, mode="delta",
             )
             s["pre_pass_ms"] = int((t_pre - t0) * 1000)
             return s
@@ -426,6 +509,7 @@ def apply_batch(
             applied=int(m["applied"] or 0), deletes=int(m["deletes"] or 0),
             conflicts=int(m["conflicts"] or 0), t0=t0,
             partition_col=partition_col, max_event_ts=new_max_event_ts,
+            version_cols=version_cols, mode="cow",
         )
         s["pre_pass_ms"] = int((t_pre - t0) * 1000)
         return s
@@ -494,6 +578,8 @@ def _commit(
     t0: float,
     partition_col: str,
     max_event_ts: int | None = None,
+    version_cols: tuple[str, ...] | None = None,
+    mode: str = "cow",
 ) -> dict:
     new_version = snap["version"] + 1
     duration_ms = int((time.time() - t0) * 1000)
@@ -580,12 +666,31 @@ def _commit(
         new["max_event_ts"] = int(max_event_ts)
     bucket_dirs = dict(snap["bucket_dirs"])
     dir_versions = dict(snap["dir_versions"])
+    delta_dirs = {b: list(r) for b, r in snap.get("delta_dirs", {}).items()}
+    bucket_rows = dict(snap.get("bucket_rows", {}))
     if touched is not None and data_rel is not None:
-        for b in touched:
-            bucket_dirs[str(b)] = data_rel
         dir_versions[data_rel] = new_version
+        written = table.written_bucket_rows(data_rel)
+        if mode == "delta":
+            for b in written:
+                delta_dirs.setdefault(b, []).append(data_rel)
+        else:
+            for b in touched:
+                bucket_dirs[str(b)] = data_rel
+                bucket_rows[str(b)] = written.get(str(b), 0)
+                if mode == "cow":
+                    # the CoW merge read base ∪ deltas for these buckets, so
+                    # the rewrite folded the deltas in; the pure-upsert path
+                    # (mode="upsert") never read them — they stay live
+                    delta_dirs.pop(str(b), None)
     new["bucket_dirs"] = bucket_dirs
     new["dir_versions"] = dir_versions
+    new["delta_dirs"] = delta_dirs
+    new["bucket_rows"] = bucket_rows
+    if version_cols is not None and not snap.get("version_cols"):
+        # tables created before version_cols were recorded: pin them at the
+        # first commit so read-time delta merging knows the LWW order
+        new["version_cols"] = list(version_cols)
     if changes:
         new.setdefault("properties", {})
         new["properties"][f"schema_changes_v{new_version}"] = changes
@@ -603,5 +708,7 @@ def _commit(
         "merge_conflicts_resolved": conflicts,
         "schema_changes": changes,
         "touched_buckets": len(touched or []),
+        "merge_mode": mode if data_rel is not None else "metadata_only",
+        "data_rel": data_rel,
         "duration_ms": duration_ms,
     }

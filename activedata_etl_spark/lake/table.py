@@ -48,6 +48,27 @@ DELETED_COL = "__deleted"  # tombstone marker: delete events upsert a
                            # versioned tombstone so stale out-of-order
                            # arrivals cannot resurrect the key
 
+# MOR-lite target: ~250MB of parquet per bucket keeps a bucket rewrite an
+# executor-sized task at any table size (10^10 rows x ~200B -> ~8k buckets)
+TARGET_BUCKET_BYTES = 250 * 1024 * 1024
+
+
+def suggest_n_buckets(
+    expected_rows: int,
+    avg_row_bytes: int = 200,
+    target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+    min_buckets: int = 8,
+    max_buckets: int = 1 << 16,
+) -> int:
+    """Size the bucket count from expected table rows so each bucket holds
+    ~``target_bucket_bytes`` of parquet.  Too few buckets makes every CoW
+    rewrite giant; too many makes small files and metadata bloat.  The analog
+    of the reference sizing rollover indexes by expected volume
+    (`vendor/pyLibrary/env/rollover_index.py:69-104`)."""
+    est_bytes = max(0, int(expected_rows)) * max(1, avg_row_bytes)
+    n = max(min_buckets, -(-est_bytes // target_bucket_bytes))
+    return int(min(n, max_buckets))
+
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):
     """Murmur3 (F.hash) on purpose: it is the SAME hash Spark's shuffle
@@ -76,6 +97,7 @@ class SnapshotTable:
         key_cols: list[str],
         *,
         n_buckets: int = 64,
+        version_cols: list[str] | None = None,
         properties: dict | None = None,
     ) -> "SnapshotTable":
         t = cls(spark, location)
@@ -96,11 +118,15 @@ class SnapshotTable:
             "ts_ms": int(time.time() * 1000),
             "schema": schema.jsonValue(),
             "key_cols": key_cols,
+            "version_cols": list(version_cols or ["commit_seq", "offset"]),
             "n_buckets": n_buckets,
             "batch_id": -1,
             "watermarks": {},
             "bucket_dirs": {},      # bucket id (str) -> data dir relpath
             "dir_versions": {},     # data dir relpath -> writer snapshot version
+            "delta_dirs": {},       # bucket id (str) -> [data dir relpaths]
+                                    # (MOR-lite: LWW-merged with base on read)
+            "bucket_rows": {},      # bucket id (str) -> base row count
             "lineage_dirs": [],
             "properties": properties or {},
         }
@@ -151,13 +177,10 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- read
 
-    def read(
-        self,
-        buckets: list[int] | None = None,
-        include_tombstones: bool = False,
-    ) -> DataFrame:
-        """Scan the table (optionally bucket-pruned), aligned to the current
-        schema.
+    def _aligned_scan(
+        self, snap: dict, schema: T.StructType, pairs: list[tuple[str, str]]
+    ) -> DataFrame | None:
+        """Scan (dir relpath, bucket id) pairs aligned to ``schema``.
 
         Data dirs written by older snapshots may have narrower physical
         schemas (pre-widening); each same-version group is read in one
@@ -165,16 +188,8 @@ class SnapshotTable:
         pushdown still reach the parquet reader because alignment is a plain
         projection on top of the scan.
         """
-        snap = self.snapshot()
-        schema = T.StructType.fromJson(snap["schema"])
-        bucket_dirs = snap["bucket_dirs"]
-        if buckets is not None:
-            wanted = {str(b) for b in buckets}
-            bucket_dirs = {b: d for b, d in bucket_dirs.items() if b in wanted}
-
-        # group bucket paths by the snapshot version that wrote them
         by_version: dict[int, list[str]] = {}
-        for b, d in bucket_dirs.items():
+        for d, b in pairs:
             ver = snap["dir_versions"][d]
             by_version.setdefault(ver, []).append(
                 os.path.join(self.location, d, f"{BUCKET_COL}={b}")
@@ -187,11 +202,63 @@ class SnapshotTable:
             raw = self.spark.read.parquet(*existing)
             parts.append(align_to_schema(raw, schema))
         if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned), aligned to the current
+        schema.
+
+        Buckets that carry MOR-lite delta files (small incremental batches,
+        see ``merge.apply_batch(merge_mode=...)``) are merged at read time:
+        base ∪ deltas reduced last-writer-wins on the table's version columns
+        — the same structmax HashAggregate the write path uses, confined to
+        exactly the buckets that have deltas.  Buckets without deltas take
+        the plain scan path with zero overhead.
+        """
+        snap = self.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+        wanted = None if buckets is None else {str(b) for b in buckets}
+        delta_dirs = {
+            b: rels for b, rels in snap.get("delta_dirs", {}).items()
+            if rels and (wanted is None or b in wanted)
+        }
+        bucket_dirs = {
+            b: d for b, d in snap["bucket_dirs"].items()
+            if wanted is None or b in wanted
+        }
+
+        out = self._aligned_scan(
+            snap, schema,
+            [(d, b) for b, d in bucket_dirs.items() if b not in delta_dirs],
+        )
+        if delta_dirs:
+            pairs = [
+                (bucket_dirs[b], b) for b in delta_dirs if b in bucket_dirs
+            ] + [(rel, b) for b, rels in delta_dirs.items() for rel in rels]
+            raw = self._aligned_scan(snap, schema, pairs)
+            if raw is not None:
+                vcols = snap.get("version_cols")
+                if not vcols:
+                    raise ValueError(
+                        f"table {self.location} has delta files but no "
+                        "version_cols recorded — cannot LWW-merge on read"
+                    )
+                from activedata_etl_spark.operators.lww import (
+                    lww_reduce_structmax,
+                )
+
+                merged = lww_reduce_structmax(raw, snap["key_cols"], vcols)
+                out = merged if out is None else out.unionByName(merged)
+        if out is None:
             out = self.spark.createDataFrame([], schema)
-        else:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
         if not include_tombstones and DELETED_COL in out.columns:
             out = out.where(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -253,11 +320,53 @@ class SnapshotTable:
             key=int,
         )
 
+    def written_bucket_rows(self, rel: str) -> dict[str, int]:
+        """Exact per-bucket row counts of a just-written data dir from the
+        parquet footers — driver-side, one footer per file, no Spark job.
+        Commit records these so ``base_row_count`` (the CoW-vs-delta mode
+        pick) never needs a table scan."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for b in self.written_buckets(rel):
+            n = 0
+            d = os.path.join(self.location, rel, f"{BUCKET_COL}={b}")
+            for f in _glob.glob(os.path.join(d, "*.parquet")):
+                n += pq.ParquetFile(f).metadata.num_rows
+            out[b] = n
+        return out
+
+    def base_row_count(self) -> int | None:
+        """Total base rows (incl. tombstones) from snapshot metadata; None
+        when unknown (table predates per-commit accounting).  Delta rows are
+        deliberately excluded: they mostly shadow existing keys, and
+        undercounting only biases mode selection toward CoW (safe)."""
+        snap = self.snapshot()
+        counts = snap.get("bucket_rows") or {}
+        live = [b for b in snap["bucket_dirs"]]
+        if not live:
+            return 0
+        if any(b not in counts for b in live):
+            return None
+        return sum(int(counts[b]) for b in live)
+
+    def dir_bytes(self, rel: str) -> int:
+        """Physical bytes under a data dir (write-amplification accounting)."""
+        total = 0
+        for root, _, files in os.walk(os.path.join(self.location, rel)):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
     # -------------------------------------------------------- maintenance
 
     def compact(self, drop_tombstones: bool = False) -> int:
         """Rewrite every bucket at the current schema in one new snapshot
         (analog of re-ETL block consolidation; removes read-time union/cast).
+        MOR-lite delta files are folded into the base and cleared — ``read``
+        already LWW-merges them, so compaction is read + rewrite.
 
         ``drop_tombstones=True`` garbage-collects delete markers — safe once
         the out-of-order horizon has passed (no stale event older than the
@@ -269,12 +378,15 @@ class SnapshotTable:
             df = df.withColumn(DELETED_COL, F.lit(False))
         df = self.bucket_of(df)
         rel = self.write_buckets(df, new_version)
+        bucket_rows = self.written_bucket_rows(rel)
         new = dict(snap)
         new["version"] = new_version
         new["parent"] = snap["version"]
         new["ts_ms"] = int(time.time() * 1000)
-        new["bucket_dirs"] = {b: rel for b in self.written_buckets(rel)}
+        new["bucket_dirs"] = {b: rel for b in bucket_rows}
         new["dir_versions"] = {rel: new_version}
+        new["delta_dirs"] = {}
+        new["bucket_rows"] = bucket_rows
         self._commit_snapshot(new)
         return new_version
 
@@ -304,15 +416,19 @@ class SnapshotTable:
         new_version = snap["version"] + 1
         df = self.bucket_of(df)
         rel = self.write_buckets(df, new_version)
+        bucket_rows = self.written_bucket_rows(rel)
         new = dict(snap)
         new["version"] = new_version
         new["parent"] = snap["version"]
         new["ts_ms"] = int(time.time() * 1000)
         # repoint from what was WRITTEN, not from the old snapshot's bucket
         # set: a SET on a key column moves rows to new buckets (which must
-        # become visible) and can empty old ones (which must be dropped)
-        new["bucket_dirs"] = {b: rel for b in self.written_buckets(rel)}
+        # become visible) and can empty old ones (which must be dropped).
+        # ``read`` folded any deltas into the rewritten rows, so clear them.
+        new["bucket_dirs"] = {b: rel for b in bucket_rows}
         new["dir_versions"] = {rel: new_version}
+        new["delta_dirs"] = {}
+        new["bucket_rows"] = bucket_rows
         self._commit_snapshot(new)
         return new_version
 
@@ -331,6 +447,8 @@ class SnapshotTable:
             with open(p) as f:
                 s = json.load(f)
             live_dirs.update(s["bucket_dirs"].values())
+            for rels in s.get("delta_dirs", {}).values():
+                live_dirs.update(rels)
             live_dirs.update(s.get("lineage_dirs", []))
         removed = []
         data_root = os.path.join(self.location, "data")

@@ -53,16 +53,26 @@ def ensure_table(
     table_location: str,
     journal_schema: T.StructType,
     *,
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
+    expected_rows: int | None = None,
 ) -> SnapshotTable:
+    """Open or create the converged table.  ``n_buckets=None`` auto-sizes
+    the bucket count from ``expected_rows`` (~250MB of parquet per bucket,
+    `lake.table.suggest_n_buckets`) so the layout survives a 100x scale-up
+    without giant-bucket rewrites or small-file sprawl."""
     if SnapshotTable.exists(spark, table_location):
         return SnapshotTable(spark, table_location)
+    if n_buckets is None:
+        from activedata_etl_spark.lake.table import suggest_n_buckets
+
+        n_buckets = suggest_n_buckets(expected_rows or 0)
     return SnapshotTable.create(
         spark,
         table_location,
         _stored_schema(journal_schema),
         key_cols=["repo", "path"],
         n_buckets=n_buckets,
+        version_cols=["commit_seq", "offset"],
     )
 
 
@@ -81,6 +91,8 @@ def replay_journal(
     verbose: bool = False,
     lineage_level: str = "full",
     lww_strategy: str = "structmax",
+    merge_mode: str = "auto",
+    expected_rows: int | None = None,
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -91,7 +103,12 @@ def replay_journal(
 
     ``offset_range=(lo, hi)`` replays a bounded slice — the reference's
     backfill-by-key-range (`etl_one`/`parse_id_argument`,
-    `activedata_etl/etl.py:457-512`).
+    `activedata_etl/etl.py:457-512`).  Note this is bounded CATCH-UP, not
+    repair: chunks at or below the committed frontier are skipped by the
+    resume fence (and apply_batch's epoch fence), so only the uncommitted
+    tail inside the range is ever applied — a range over already-applied
+    offsets is a deliberate no-op.  To re-apply committed data (repair),
+    rebuild the table or use ``SnapshotTable.compact``/``update_where``.
     """
     from activedata_etl_spark.journal import journal_metadata, read_journal
 
@@ -100,7 +117,10 @@ def replay_journal(
         journal = journal.where(
             F.col("offset").between(offset_range[0], offset_range[1])
         )
-    table = ensure_table(spark, table_location, journal.schema, n_buckets=n_buckets)
+    table = ensure_table(
+        spark, table_location, journal.schema,
+        n_buckets=n_buckets, expected_rows=expected_rows,
+    )
 
     # max offset + partition set: footer stats driver-side for small
     # journals, one distributed column-pruned agg past ~2k files
@@ -124,8 +144,8 @@ def replay_journal(
         # the batch fence and per-partition watermarks are CONTIGUOUS
         # frontiers: applying a range that leaves a gap below it would mark
         # the skipped offsets as done and silently drop them from every
-        # later replay.  Backfill is repair/catch-up — it must start at or
-        # below the frontier; reject forward gaps loudly.
+        # later replay.  A bounded catch-up must start at or below the
+        # frontier; reject forward gaps loudly.
         raise ValueError(
             f"offset_range starts at {offset_range[0]} but the table's "
             f"applied frontier is {frontier}: a forward gap would fence "
@@ -169,6 +189,7 @@ def replay_journal(
             late_threshold_sec=late_threshold_sec,
             finalize_fn=finalize_records, persist=persist,
             lineage_level=lineage_level, lww_strategy=lww_strategy,
+            merge_mode=merge_mode,
             precomputed_watermarks=(
                 {p: claim_hi for p in partitions}
                 if lineage_level == "summary" and full_cover else None
@@ -210,6 +231,7 @@ def stream_journal(
     salted: bool = False,
     n_buckets: int = 64,
     timeout_sec: float | None = None,
+    merge_mode: str = "auto",
 ):
     """Structured Streaming tail over the journal directory.
 
@@ -234,6 +256,7 @@ def stream_journal(
         apply_batch(
             table, normalize_keys(df), epoch_id, salted=salted,
             finalize_fn=finalize_records, enforce_watermark=False,
+            merge_mode=merge_mode,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

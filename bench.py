@@ -140,6 +140,33 @@ def _best(a: dict | None, b: dict) -> dict:
     return b if a is None or b["events_per_sec"] > a["events_per_sec"] else a
 
 
+# steady-state incremental: base table size, events per small batch, batches.
+# A 4096-event batch over the ~670k-key space touches ~0.6% of keys — the
+# many-small-batches-against-a-big-table shape that CoW amplifies.
+INC_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_INC_BASE", str(1 << 23)))
+INC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_INC_EVENTS", "4096"))
+INC_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_INC_BATCHES", "8"))
+
+
+def incremental_subprocess(par: str, journal: str, workdir: str, mode: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    lake = os.path.join(workdir, f"lake_inc_{mode}")
+    args = [sys.executable, "-m", "activedata_etl_spark.bench_incremental",
+            str(par), journal, lake, mode,
+            str(INC_BASE), str(INC_EVENTS), str(INC_BATCHES)]
+    out = subprocess.run(args, capture_output=True, text=True, env=env, timeout=1200)
+    shutil.rmtree(lake, ignore_errors=True)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench_incremental {mode} failed (rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench_")
     try:
@@ -178,6 +205,28 @@ def main() -> None:
                 r_salt, _measure(BIG_SPEC, journal_dir, workdir, f"x{i}", salted=True)
             )
 
+        # ---- steady-state incremental CDC: small batches vs a big table ----
+        inc_delta = incremental_subprocess(BIG_SPEC, journal_dir, workdir, "delta")
+        inc_cow = incremental_subprocess(BIG_SPEC, journal_dir, workdir, "cow")
+        changed = inc_delta["inc_delta_bytes"] or 1  # bytes of the winners
+        incremental = {
+            "base_events": inc_delta["base_events"],
+            "inc_events_per_batch": INC_EVENTS,
+            "inc_batches": INC_BATCHES,
+            "delta_events_per_sec": inc_delta["inc_events_per_sec"],
+            "cow_events_per_sec": inc_cow["inc_events_per_sec"],
+            "bytes_changed": changed,
+            "bytes_written_delta_incl_compact": inc_delta["inc_bytes_written"],
+            "bytes_written_cow": inc_cow["inc_bytes_written"],
+            "write_amplification_cow": round(inc_cow["inc_bytes_written"] / changed, 1),
+            "write_amplification_delta_incl_compact": round(
+                inc_delta["inc_bytes_written"] / changed, 1
+            ),
+            "compact_sec": inc_delta["compact_sec"],
+        }
+        qtimes["cdc_incremental_delta"] = inc_delta["inc_sec"]
+        qtimes["cdc_incremental_cow"] = inc_cow["inc_sec"]
+
         eps_small, eps_big = r_small["events_per_sec"], r_big["events_per_sec"]
         speedup = eps_big / eps_small if eps_small else 0.0
         eff_raw = round(speedup / (e_big / e_small), 3)
@@ -207,8 +256,17 @@ def main() -> None:
                 # skew gate: task-time spread of the heaviest shuffle stage
                 # (the LWW reduce) at 4N — map-side combine keeps this ~<2
                 "reduce_stage_skew": r_big.get("reduce_stage"),
+                # steady-state small-batch ingest + write amplification
+                "incremental": incremental,
             },
         }
+        if r_big.get("reduce_stage") is None:
+            # the gate must never silently vanish from a BENCH file
+            print(
+                "warn: reduce_stage_skew probe returned no data this run "
+                "(see bench_replay stderr for the reason)",
+                file=sys.stderr,
+            )
         print(json.dumps(out))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -259,6 +259,142 @@ def test_create_without_deleted_col_still_merges(spark, tmp_path):
     assert table.read().count() == 1
 
 
+def _mk_base(spark, loc, n=40, n_buckets=32, **kw):
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, "X" * 50, None)
+        for i in range(n)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    table = ensure_table(spark, loc, b0.schema, n_buckets=n_buckets)
+    apply_batch(table, _norm(b0), 0, **kw)
+    return table
+
+
+def test_delta_mode_bounds_write_amplification(spark, tmp_path):
+    """A small incremental batch (auto -> delta) must write O(batch) bytes,
+    not rewrite every touched bucket — and converge to the same table state
+    as the CoW twin."""
+    loc_d = str(tmp_path / "lake_delta")
+    loc_c = str(tmp_path / "lake_cow")
+    t_delta = _mk_base(spark, loc_d)
+    t_cow = _mk_base(spark, loc_c)
+    base_bytes = t_delta.dir_bytes("data/v1")  # batch 0 wrote snapshot v1
+
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f7.py", "d" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    s_d = apply_batch(t_delta, _norm(b1), 1)
+    s_c = apply_batch(t_cow, _norm(b1), 1, merge_mode="cow")
+    assert s_d["merge_mode"] == "delta" and s_c["merge_mode"] == "cow"
+    assert t_delta.snapshot()["delta_dirs"]  # delta recorded in metadata
+
+    delta_bytes = t_delta.dir_bytes(s_d["data_rel"])
+    cow_bytes = t_cow.dir_bytes(s_c["data_rel"])
+    # the delta write is batch-sized; the CoW write rewrote whole buckets
+    assert delta_bytes < base_bytes * 0.2
+    assert delta_bytes < cow_bytes
+
+    a = sorted(map(tuple, t_delta.read().collect()))
+    b = sorted(map(tuple, t_cow.read().collect()))
+    assert a == b and len(a) == 40
+
+
+def test_delta_versions_tombstones_and_compact(spark, tmp_path):
+    """Read-time LWW over base ∪ deltas: stale deltas lose, fresh ones win,
+    delta tombstones hide keys and block resurrection; compact() folds all
+    deltas and preserves the converged state."""
+    loc = str(tmp_path / "lake_dv")
+    # 100-row base so a 3-event batch is under the 5% auto-delta threshold
+    table = _mk_base(spark, loc, n=100)  # commit_seq 0..99, offsets 0..99
+    b1 = spark.createDataFrame(
+        [
+            # stale by commit_seq (f5 base has seq 5) but newly delivered
+            (0, 200, 3, "update", "r", "f5.py", "d" * 12, None, "STALE", None),
+            (0, 201, 201, "update", "r", "f6.py", "d" * 12, None, "FRESH", None),
+            (0, 202, 202, "delete", "r", "f8.py", "d" * 12, None, None, None),
+        ],
+        COLS_V1,
+    )
+    s1 = apply_batch(table, _norm(b1), 1)
+    assert s1["merge_mode"] == "delta"
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["f5.py"] == "X" * 50        # stale delta lost to base
+    assert got["f6.py"] == "FRESH"         # fresh delta won
+    assert "f8.py" not in got              # delta tombstone hides the key
+    assert len(got) == 99
+
+    # a later stale update cannot resurrect the tombstoned key
+    b2 = spark.createDataFrame(
+        [(0, 203, 8, "update", "r", "f8.py", "d" * 12, None, "ZOMBIE", None)],
+        COLS_V1,
+    )
+    s2 = apply_batch(table, _norm(b2), 2)
+    assert s2["merge_mode"] == "delta"
+    before = sorted(map(tuple, table.read().collect()))
+    assert "f8.py" not in {r["path"] for r in table.read().collect()}
+
+    table.compact()
+    snap = table.snapshot()
+    assert snap["delta_dirs"] == {}
+    assert sorted(map(tuple, table.read().collect())) == before
+    # row accounting survives the fold (99 live + 1 tombstone)
+    assert table.base_row_count() == 100
+
+
+def test_delta_schema_evolution_and_epoch_fence(spark, tmp_path):
+    loc = str(tmp_path / "lake_devo")
+    table = _mk_base(spark, loc)
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f7.py", "d" * 12, None, "NEW", None,
+          "100755")],
+        COLS_V2,
+    )
+    s1 = apply_batch(table, _norm(b1), 1)
+    assert s1["merge_mode"] == "delta"
+    assert any(c.startswith("add mode") for c in s1["schema_changes"])
+    got = {r["path"]: r["mode"] for r in table.read().collect()}
+    assert got["f7.py"] == "100755" and got["f0.py"] is None
+
+    # replaying the same batch id is fenced to a no-op (no second delta dir)
+    n_deltas = sum(len(v) for v in table.snapshot()["delta_dirs"].values())
+    s_again = apply_batch(table, _norm(b1), 1)
+    assert s_again["skipped"]
+    assert sum(len(v) for v in table.snapshot()["delta_dirs"].values()) == n_deltas
+
+
+def test_cow_merge_folds_touched_deltas(spark, tmp_path):
+    """A CoW merge reads base ∪ deltas for its touched buckets, so those
+    buckets' delta files must be cleared from the new snapshot (their content
+    is folded into the rewrite) — and the delta's winner must survive."""
+    loc = str(tmp_path / "lake_fold")
+    table = _mk_base(spark, loc)
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f7.py", "d" * 12, None, "VIA_DELTA", None)],
+        COLS_V1,
+    )
+    assert apply_batch(table, _norm(b1), 1)["merge_mode"] == "delta"
+    # big batch -> auto picks CoW (41 updates > 5% of 40 base rows)
+    rows = [
+        (0, 200 + i, 200 + i, "update", "r", f"f{i}.py", "e" * 12, None, "V2", None)
+        for i in range(40) if i != 7
+    ]
+    s2 = apply_batch(table, _norm(spark.createDataFrame(rows, COLS_V1)), 2)
+    assert s2["merge_mode"] == "cow"
+    assert table.snapshot()["delta_dirs"] == {}  # folded
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["f7.py"] == "VIA_DELTA" and got["f0.py"] == "V2"
+    assert len(got) == 40
+
+
+def test_suggest_n_buckets():
+    from activedata_etl_spark.lake.table import suggest_n_buckets
+
+    assert suggest_n_buckets(0) == 8                      # floor
+    assert suggest_n_buckets(10**10, avg_row_bytes=200) == 7630  # ~250MB each
+    assert suggest_n_buckets(10**12) == 1 << 16           # ceiling
+
+
 def test_lineage_dirs_consolidate(spark, tmp_path, monkeypatch):
     """Per-commit lineage dirs fold into one consolidated parquet past the
     threshold; history is preserved and expire_snapshots prunes orphans."""
