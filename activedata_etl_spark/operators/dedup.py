@@ -378,6 +378,14 @@ def _simhash_band_plan(max_hamming: int, max_bands: int = 64):
     return starts, combos
 
 
+# pipeline default for the per-band-bucket frequency cap — mirrors
+# JACCARD_MAX_SHINGLE_FREQ (plans/queries.py): at 10^9 docs an adversarial
+# near-identical boilerplate flood co-buckets in every band and candidate
+# generation goes quadratic without it.  Exact-recall callers (the DuckDB
+# oracle registry query) pass max_band_freq=None explicitly.
+SIMHASH_MAX_BAND_FREQ = 200
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -386,7 +394,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     seed: int = 11,
     max_bands: int = 64,
-    max_band_freq: int | None = None,
+    max_band_freq: int | None = SIMHASH_MAX_BAND_FREQ,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
@@ -400,7 +408,9 @@ def simhash_pairs(
     dropped from candidate generation.  It bounds candidates at
     O(n * bands * freq) even on adversarial corpora, at the documented cost
     of recall for pairs ONLY co-bucketed in hot buckets (near-identical
-    boilerplate floods).  Off by default — exact semantics.
+    boilerplate floods).  ON by default (``SIMHASH_MAX_BAND_FREQ``) — pass
+    ``None`` for exact recall-lossless semantics (the oracle registry query
+    does).
     """
     sig = simhash(df, id_col, text_col, seed=seed, hash_fn=hash_fn)
     return simhash_pairs_from_sigs(

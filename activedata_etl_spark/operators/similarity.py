@@ -192,6 +192,36 @@ def _train_fraction(n_rows: int, max_train: int) -> float:
     return 1.0 if n_rows <= max_train else max_train / n_rows
 
 
+def _row_count_hint(df: DataFrame, max_files: int = 10_000) -> int | None:
+    """Row count of a parquet-backed frame from its file footers —
+    driver-side metadata only, NO Spark job (the ``journal_metadata`` footer
+    pattern, `journal.py`).  Returns None for non-file-backed frames or past
+    ``max_files`` (where the serial footer walk stops paying off).
+
+    Footer counts are pre-filter, so a filtered frame OVERCOUNTS — which
+    only shrinks the derived training fraction; the sample stays bounded by
+    ``max_train`` either way, so the bias is safe for quantizer training.
+    """
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > max_files \
+            or not all(f.endswith(".parquet") for f in files):
+        return None
+    total = 0
+    try:
+        for f in files:
+            total += pq.ParquetFile(urlparse(f).path or f).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,6 +233,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     seed: int = 31,
     sample_fraction: float | None = None,
+    n_rows: int | None = None,
     max_train: int = 100_000,
     max_iter: int = 8,
     centroids: str = "kmeans",
@@ -264,7 +295,13 @@ def ivf_ann_topk(
 
         train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
         if sample_fraction is None:
-            sample_fraction = _train_fraction(corpus.count(), max_train)
+            # sizing chain that never pays a full-scan job just to pick a
+            # fraction: caller hint -> parquet footer metadata -> count()
+            # (last resort, for in-memory frames only)
+            n = n_rows if n_rows is not None else _row_count_hint(corpus)
+            if n is None:
+                n = corpus.count()
+            sample_fraction = _train_fraction(n, max_train)
         if sample_fraction < 1.0:
             train = train.sample(fraction=sample_fraction, seed=seed)
         model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)

@@ -270,13 +270,18 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
         # generic clause semantics for every other operator (FindOp etc.
         # carry a first-class `default`): default replaces a MISSING result.
         # Silently ignoring a clause would return wrong values with no
-        # signal; `nulls` is only defined for the multi ops — reject it.
-        if "nulls" in clauses:
+        # signal; a TRUTHY `nulls` is only defined for the multi ops —
+        # reject it.  A falsy `nulls` is the documented conservative default
+        # and therefore a no-op (matching the BaseMultiOp branch, which uses
+        # clauses.get("nulls") and accepts falsy values).
+        if clauses.get("nulls"):
             raise ValueError(f'"nulls" clause not supported for {op!r}')
-        return F.coalesce(
-            compile_expr({op: args}, env),
-            compile_expr(clauses["default"], env),
-        )
+        if "default" in clauses:
+            return F.coalesce(
+                compile_expr({op: args}, env),
+                compile_expr(clauses["default"], env),
+            )
+        return compile_expr({op: args}, env)
 
     if op == "literal":
         return F.lit(args)
@@ -930,6 +935,16 @@ def run_formatted(query: dict, frames: dict[str, DataFrame]) -> dict:
     the reference returns JSON to its HTTP caller — never part of a plan.
     """
     fmt = query.get("format", "list")
+    if query.get("limit", DEFAULT_LIMIT) is None:
+        # this function collect()s to the driver to render the payload; an
+        # explicit limit=None would collect an unbounded distributed result.
+        # run() itself honors limit=None (it returns a DataFrame); only the
+        # driver-side presentation refuses it.
+        raise ValueError(
+            "run_formatted requires a bounded limit (got limit=None): "
+            "set an explicit row limit, or use run() and keep the result "
+            "distributed"
+        )
     df = run(query, frames)
     cols = df.columns
     rows = [r.asDict(recursive=True) for r in df.collect()]

@@ -1025,7 +1025,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     only prunes candidates, never results)."""
     d = _t(spark, sf, "documents")
     return DD.simhash_pairs(
-        d, "doc_id", "text", max_hamming=8, hash_fn="mix31"
+        # max_band_freq=None: the registry query is the oracle-exact path
+        # (the SQL oracle enumerates ALL pairs); pipelines keep the default
+        # SIMHASH_MAX_BAND_FREQ hot-bucket cap
+        d, "doc_id", "text", max_hamming=8, hash_fn="mix31",
+        max_band_freq=None,
     ).orderBy("id_a", "id_b")
 
 

@@ -29,7 +29,14 @@ def bulk_action_lines(
     - `_id` is the key rendered as JSON (the reference builds ids by joining
       key parts, `get_encoder` elasticsearch.py:1434-1463 — but a plain
       ':'-join collides: concat_ws silently skips null parts and the
-      delimiter may appear inside a part; JSON escaping is unambiguous);
+      delimiter may appear inside a part; JSON escaping is unambiguous).
+      Null key fields are RENDERED (``ignoreNullFields=false``) so every id
+      carries every key column — ids differing only by WHICH column is null
+      stay distinct and readable.  FORMAT BREAK: ids produced by the
+      pre-round-3 ':'-join scheme (and round-3's null-dropping to_json) do
+      not match; an index exported under an old scheme will receive every
+      doc again under new ids — re-create the index or delete-by-query the
+      old export before switching;
     - `version` must be a single monotone int for `external_gte`: the
       version tuple is collapsed as ``first * scale + second``.  The
       collapse is only monotone while ``second < version_scale``, so rows
@@ -37,7 +44,10 @@ def bulk_action_lines(
       would judge stale (size ``version_scale`` to the journal: e.g. max
       offsets per commit_seq).
     """
-    _id = F.to_json(F.struct(*[F.col(c) for c in id_cols]))
+    _id = F.to_json(
+        F.struct(*[F.col(c) for c in id_cols]),
+        {"ignoreNullFields": "false"},
+    )
 
     def _required(col, name):
         # a null version renders as a MISSING "version" field (to_json drops

@@ -39,7 +39,9 @@ def keyed_running_counts(
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        n = d = m = 0
+        n = d = 0
+        m = None  # 'no seq seen yet' — emitting 0 would fabricate a real
+                  # sequence number indistinguishable from seq 0 downstream
         if state.exists:
             n, d, m = state.get
         for pdf in pdfs:
@@ -47,7 +49,7 @@ def keyed_running_counts(
             d += int((pdf[op_col] == "delete").sum())
             mx = pdf[seq_col].max()
             if pd.notna(mx):  # an all-null seq batch must not int(NaN)-crash
-                m = max(m, int(mx))
+                m = int(mx) if m is None else max(m, int(mx))
         state.update((n, d, m))
         yield pd.DataFrame(
             [{key_col: key[0], "n_events": n, "n_deletes": d,

@@ -643,6 +643,13 @@ def test_when_sibling_form_and_op_default_clauses(frames):
     assert all(r["z"] == 99 for r in rows)  # /0 is missing -> default
     with pytest.raises(ValueError, match="nulls"):
         jx.compile_expr({"find": {"tag": "q"}, "nulls": True})
+    # a FALSY nulls clause is the documented conservative default — accepted
+    # as a no-op in the generic branch exactly as in the BaseMultiOp branch
+    rows2 = jx.run({"from": "t", "select": [
+        {"name": "f0", "value": {"find": {"tag": "q"}, "nulls": False,
+                                 "default": -1}},
+    ], "sort": "i"}, frames).collect()
+    assert [r["f0"] for r in rows2] == [by_i[i]["f"] for i in sorted(by_i)]
 
 
 def test_window_count_without_value(frames):
@@ -738,6 +745,13 @@ def test_run_formatted_list_table_cube(frames):
     assert cube2["edges"][1]["domain"]["partitions"] == ["p", "q"]
     # rows: (x,None)=1, (x,q)=1, (y,p)=2  ->  g-major, tag (p,q,null)-minor
     assert cube2["data"]["n"] == [[0, 1, 1], [2, 0, 0]]
+
+    # run_formatted collect()s to the driver: an explicit limit=None (an
+    # unbounded distributed result) must be refused, never OOM the driver
+    with pytest.raises(ValueError, match="bounded limit"):
+        jx.run_formatted({**q, "limit": None}, frames)
+    # run() itself still honors limit=None (stays distributed)
+    assert jx.run({"from": "t", "limit": None}, frames).count() == 5
 
     # no edges -> column-major (convert.list2cube on plain lists)
     flat = jx.run_formatted(

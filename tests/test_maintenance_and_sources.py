@@ -413,6 +413,10 @@ def test_es_bulk_formatter(spark, tmp_path):
     ids = [json.loads(r["action_line"])["index"]["_id"]
            for r in bulk_action_lines(tricky).collect()]
     assert len(set(ids)) == 4
+    # null key fields are RENDERED (not dropped): every id carries every
+    # key column, so which-column-is-null is explicit in the id itself
+    assert {"repo": None, "path": "x"} in [json.loads(i) for i in ids]
+    assert {"repo": "x", "path": None} in [json.loads(i) for i in ids]
     # offset >= version_scale must raise, not write a stale-looking version
     import pytest as _pytest
 

@@ -370,6 +370,28 @@ def test_simhash_band_freq_cap(spark):
     assert _simhash_candidates(sig, max_hamming=8).count() == 200 * 199 // 2
 
 
+def test_simhash_pairs_default_cap_engages(spark):
+    """The pipeline entry point defaults the hot-bucket cap ON: a flood of
+    identical documents larger than SIMHASH_MAX_BAND_FREQ generates zero
+    candidates by default, while max_band_freq=None (the oracle-exact
+    registry spelling) returns the full quadratic pair set."""
+    from activedata_etl_spark.operators.dedup import (
+        SIMHASH_MAX_BAND_FREQ,
+        simhash_pairs,
+    )
+
+    n = SIMHASH_MAX_BAND_FREQ + 50
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate flood text " * 4).alias("text"),
+    )
+    assert simhash_pairs(df, "doc_id", "text").count() == 0
+    assert (
+        simhash_pairs(df, "doc_id", "text", max_band_freq=None).count()
+        == n * (n - 1) // 2
+    )
+
+
 def test_mix31_minhash_matches_xxhash_semantics(spark, docs):
     """The oracle-able mix31 family is a drop-in: verified output is still a
     subset of exact pairs with high recall (hash family changes candidates,
@@ -472,6 +494,40 @@ def test_ivf_train_fraction_guard(spark, emb):
     rows = out.collect()
     assert len(rows) > 0
     assert {r["query_id"] for r in rows} <= {0, 1, 2}
+
+
+def test_ivf_sizing_needs_no_count_job(spark, emb, monkeypatch):
+    """Training-fraction sizing must not pay a full-scan count() job for a
+    parquet-backed corpus: the row count comes from the file footers
+    (driver-side metadata) or an explicit n_rows hint."""
+    from activedata_etl_spark.operators import similarity as S
+
+    # footer hint is exact for a parquet-backed frame
+    n = S._row_count_hint(emb)
+    assert n == emb.count()
+    # ...and survives projections on top of the scan
+    assert S._row_count_hint(emb.select("vec_id", "embedding")) == n
+    # non-file-backed frames opt out
+    assert S._row_count_hint(spark.range(10).toDF("x")) is None
+
+    # the kmeans path must not call DataFrame.count while sizing
+    from pyspark.sql import DataFrame as _DF
+
+    def boom(self):
+        raise AssertionError("ivf sizing triggered a count() job")
+
+    q = emb.where(F.col("vec_id") < 3)
+    monkeypatch.setattr(_DF, "count", boom)
+    out = S.ivf_ann_topk(emb, q, k=3, n_centroids=4, n_probe=2, max_train=40)
+    rows = out.collect()
+    monkeypatch.undo()
+    assert rows and {r["query_id"] for r in rows} <= {0, 1, 2}
+
+    # explicit hint path: same answer, no footer walk needed
+    out2 = S.ivf_ann_topk(
+        emb, q, k=3, n_centroids=4, n_probe=2, max_train=40, n_rows=n
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
 
 
 def test_ivf_blas_path_matches_catalyst_path(spark, emb):

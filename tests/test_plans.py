@@ -187,3 +187,33 @@ def test_stateful_running_counts(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_stateful_counts_all_null_seq_emits_null(spark, tmp_path):
+    """A key that has never carried a sequence number must emit
+    max_commit_seq = NULL, not a fabricated 0 indistinguishable from a real
+    seq 0 downstream."""
+    from activedata_etl_spark.streaming.stateful import keyed_running_counts
+
+    src = str(tmp_path / "nullseq")
+    spark.createDataFrame(
+        [("r_null", "insert", None), ("r_null", "delete", None),
+         ("r_real", "insert", 0)],
+        "repo string, op string, commit_seq long",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "repo string, op string, commit_seq long"
+    ).parquet(src)
+    q = (
+        keyed_running_counts(stream)
+        .writeStream.format("memory").queryName("nullseq")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nullseq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = {r["repo"]: (r["n_events"], r["max_commit_seq"])
+           for r in spark.sql("SELECT * FROM nullseq").collect()}
+    assert got["r_null"] == (2, None)   # no seq seen -> null, not 0
+    assert got["r_real"] == (1, 0)      # a REAL seq 0 still shows as 0
