@@ -143,10 +143,26 @@ def _duration_seconds(s: str) -> float | None:
     if not n:
         return None  # bare unit: calendar path
     if unit in _CALENDAR_MONTHS:
+        # no fixed second width — callers handle these via _duration_months
         raise ValueError(f"counted calendar duration not supported: {s!r}")
     if unit not in _UNIT_SECONDS:
         raise ValueError(f"unknown duration unit: {s!r}")
     return int(n) * _UNIT_SECONDS[unit]
+
+
+def _duration_months(s: str) -> int | None:
+    """Counted CALENDAR duration ("2month", "6quarter") -> total months;
+    None for anything else (fixed-width and bare units take their own
+    paths).  The mo_times Duration month algebra
+    (`vendor/mo_times/durations.py` add_month) has no fixed second width,
+    so these bin on the months-since-year-0 grid instead of the unix grid."""
+    m = _re.fullmatch(r"(\d+)([a-z]+)", s.strip().lower())
+    if not m:
+        return None
+    n, unit = m.groups()
+    if unit not in _CALENDAR_MONTHS:
+        return None
+    return int(n) * _CALENDAR_MONTHS[unit]
 
 
 def _parse_date_unix(s) -> float:
@@ -471,6 +487,39 @@ def compile_expr(e: Any, env: dict | None = None) -> Column:
         return _var(k, env).rlike(v)
     if op == "tuple":
         return F.struct(*[compile_expr(a, env) for a in args])
+    if op == "select":
+        # SelectOp expression form (jx_base/expressions.py:436-…): aliased
+        # struct literal from {"name","value"} descriptors or bare paths
+        terms = args if isinstance(args, list) else [args]
+        cols = []
+        for t in terms:
+            if isinstance(t, str):
+                cols.append(compile_expr(t, env).alias(t.replace(".", "_")))
+            elif isinstance(t, dict) and "value" in t:
+                cols.append(
+                    compile_expr(t["value"], env)
+                    .alias(t.get("name") or str(t["value"]))
+                )
+            else:
+                raise ValueError(
+                    f"select expression terms need name/value: {t!r}"
+                )
+        return F.struct(*cols)
+    if op == "offset":
+        # OffsetOp (jx_base/expressions.py:349-382): positional index into
+        # the current row-as-tuple; out of range -> missing (its __call__
+        # returns None on IndexError), negative indexes from the end
+        n = int(args)
+        cols = (env or {}).get("__columns__")
+        if cols is None:
+            raise ValueError(
+                '{"offset": n} indexes the current row — only valid inside '
+                "run() where the row shape is known"
+            )
+        try:
+            return F.col(cols[n])
+        except IndexError:
+            return F.lit(None)
     if op == "get":
         # GetOp (jx_base/expressions.py:412-433): successive derefs of a
         # value — int offsets index arrays (Python semantics: 0-based,
@@ -673,13 +722,27 @@ def _domain_expr(edge: dict, env: dict | None = None) -> Column:
         interval = dom.get("interval", "day")
         lo, hi = dom.get("min"), dom.get("max")
         if isinstance(interval, str):
-            secs = _duration_seconds(interval)
-            if secs is None:  # calendar unit: date_trunc
-                binned = F.date_trunc(interval, value)
-            else:  # counted duration ("6week"): numeric floor on unix secs
-                binned = F.from_unixtime(
-                    F.floor(F.unix_timestamp(value) / secs) * secs
-                ).cast("timestamp")
+            n_months = _duration_months(interval)
+            if n_months is not None:
+                # counted calendar duration ("2month"): floor on the
+                # months-since-year-0 grid (aligns with calendar years
+                # whenever n divides 12), bucket = first day of the period
+                tot = F.year(value) * 12 + F.month(value) - 1
+                fl = tot - F.pmod(tot, F.lit(n_months))
+                binned = F.to_timestamp(F.make_date(
+                    F.floor(fl / 12).cast("int"),
+                    F.pmod(fl, F.lit(12)).cast("int") + 1,
+                    F.lit(1),
+                ))
+                secs = None
+            else:
+                secs = _duration_seconds(interval)
+                if secs is None:  # bare calendar unit: date_trunc
+                    binned = F.date_trunc(interval, value)
+                else:  # counted fixed duration ("6week"): unix-grid floor
+                    binned = F.from_unixtime(
+                        F.floor(F.unix_timestamp(value) / secs) * secs
+                    ).cast("timestamp")
             ts = value
             conv = lambda b: F.lit(_time_bound(b)).cast("timestamp")  # noqa: E731
         else:
@@ -753,6 +816,18 @@ def _domain_parts(edge: dict):
             return _interval_parts(
                 _parse_date_unix(lo), _parse_date_unix(hi), interval
             )
+        n_months = _duration_months(interval)
+        if n_months is not None:
+            # counted calendar duration: same months-since-year-0 grid as
+            # the binning expression
+            start, end = _time_bound(lo), _time_bound(hi)
+            tot = start.year * 12 + start.month - 1
+            tot -= tot % n_months
+            out, v = [], _dt.datetime(tot // 12, tot % 12 + 1, 1)
+            while v < end:
+                out.append(v)
+                v = _month_add(v, n_months)
+            return out
         secs = _duration_seconds(interval)
         if secs is not None:
             # counted duration ("6week"): buckets on the numeric unix grid,
@@ -820,6 +895,9 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
         if clause in query:
             _collect_vars(query[clause], refs)
     df, env = drill(df, {r for r in refs if "." in r})
+    # row shape for OffsetOp (positional row-as-tuple access)
+    env = dict(env)
+    env["__columns__"] = list(df.columns)
 
     if "where" in query:
         df = df.where(compile_expr(query["where"], env))
@@ -876,6 +954,31 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
             df = df.withColumn(win["name"], c)
 
     if edges is not None or groupby is not None:
+        # multivalue edges (MultivalueDecoder, vendor/jx_elasticsearch/es52/
+        # decoders.py:452): an edge whose value is an array<scalar> groups by
+        # each VALUE of the array, not by the array itself — explode_outer so
+        # rows with empty/null arrays still land in the null bucket
+        if edges is not None:
+            mv_edges = []
+            for i, e_ in enumerate(edges):
+                e_d = {"name": e_, "value": e_} if isinstance(e_, str) else dict(e_)
+                v = e_d.get("value")
+                if v is not None:
+                    dt = df.select(compile_expr(v, env).alias("__t")) \
+                        .schema[0].dataType
+                    if isinstance(dt, T.ArrayType) and not isinstance(
+                        dt.elementType, (T.ArrayType, T.MapType, T.StructType)
+                    ):
+                        col = f"__mv_{i}"
+                        df = df.withColumn(
+                            col, F.explode_outer(compile_expr(v, env))
+                        )
+                        e_d["name"] = e_d.get("name") or (
+                            v if isinstance(v, str) else col
+                        )
+                        e_d["value"] = col
+                mv_edges.append(e_d)
+            edges = mv_edges
         keys, dense = [], []
         for g in (groupby or []):
             g = {"name": g, "value": g} if isinstance(g, str) else g

@@ -784,6 +784,96 @@ ORDER BY user_id, event_id
 """
 
 
+def q30_multivalue_edge(spark: SparkSession, sf: str) -> DataFrame:
+    """jx-lite edge over a MULTIVALUE (array) field: the edge groups by each
+    VALUE of the token array, not by the array itself — the MultivalueDecoder
+    semantics (vendor/jx_elasticsearch/es52/decoders.py:452); documents with
+    no qualifying token land in the null bucket (allowNulls)."""
+    from activedata_etl_spark.plans import jx
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]{6,}"), 0
+        ).alias("toks"),
+    )
+    return (
+        jx.run(
+            {
+                "from": "t",
+                "edges": [{"name": "tok", "value": "toks"}],
+                "select": [
+                    {"name": "n", "aggregate": "count"},
+                    {"name": "docs", "value": "doc_id",
+                     "aggregate": "cardinality"},
+                ],
+                "limit": None,
+            },
+            {"t": d},
+        )
+        .orderBy(F.col("tok").asc_nulls_first())
+    )
+
+
+ORACLE_Q30 = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{6,}') AS t
+  FROM documents
+), x AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN [NULL] ELSE t END) AS tok
+  FROM toks
+)
+SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS docs
+FROM x GROUP BY tok ORDER BY tok NULLS FIRST
+"""
+
+
+def q31_calendar_duration_edge(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense TimeDomain edge with a COUNTED CALENDAR interval ("2month"):
+    bins on the months-since-year-0 grid (mo_times month algebra,
+    vendor/mo_times/durations.py add_month — months have no fixed second
+    width); empty grid buckets still materialize."""
+    from activedata_etl_spark.plans import jx
+
+    e = _t(spark, sf, "events")
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "period", "value": "ts",
+                       "domain": {"type": "time", "interval": "2month",
+                                  "min": "2023-11-01", "max": "2024-05-01"}}],
+            "select": [{"name": "n", "aggregate": "count"},
+                       {"name": "sv", "value": "value", "aggregate": "sum"}],
+        },
+        {"t": e},
+    )
+    # string-formatted so the driver's value-hash is resolution-independent
+    return out.select(
+        F.date_format("period", "yyyy-MM-dd").alias("period"),
+        "n", F.round("sv", 4).alias("sv"),
+    ).orderBy(F.col("period").asc_nulls_first())
+
+
+ORACLE_Q31 = """
+WITH parts(period) AS (
+  VALUES (DATE '2023-11-01'), (DATE '2024-01-01'), (DATE '2024-03-01'), (NULL)
+), g AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '2023-11-01' AND ts < TIMESTAMP '2024-05-01'
+              THEN make_date(
+                ((year(ts) * 12 + month(ts) - 1)
+                 - (year(ts) * 12 + month(ts) - 1) % 2) // 12,
+                ((year(ts) * 12 + month(ts) - 1) % 12) + 1, 1)
+         END AS period, value, 1 AS one
+  FROM events
+)
+SELECT strftime(p.period, '%Y-%m-%d') AS period,
+       count(g.one) AS n,
+       round(sum(g.value), 4) AS sv
+FROM parts p LEFT JOIN g ON g.period IS NOT DISTINCT FROM p.period
+GROUP BY p.period ORDER BY period NULLS FIRST
+"""
+
+
 # typed_json_props: the props column is flat {"k": <int>} JSON, so the sigil
 # encoding (vendor/mo_json/typed_encoder.py:132-362) is reconstructible in
 # ANSI SQL — closing the round-1 no_oracle gap for this query
@@ -1440,6 +1530,8 @@ SPARK_QUERIES = {
     "q27_count_values": q27_count_values,
     "q28_edges_dense_time": q28_edges_dense_time,
     "q29_window_rows": q29_window_rows,
+    "q30_multivalue_edge": q30_multivalue_edge,
+    "q31_calendar_duration_edge": q31_calendar_duration_edge,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
@@ -1489,6 +1581,8 @@ ORACLE_SQL = {
     "q27_count_values": ORACLE_Q27,
     "q28_edges_dense_time": ORACLE_Q28,
     "q29_window_rows": ORACLE_Q29,
+    "q30_multivalue_edge": ORACLE_Q30,
+    "q31_calendar_duration_edge": ORACLE_Q31,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,

@@ -494,6 +494,92 @@ def test_counted_duration_time_domain(spark):
     assert got[0][0] is None
 
 
+def test_counted_calendar_duration_time_domain(spark):
+    """"2month" interval: months-since-year-0 grid (mo_times month algebra —
+    no fixed second width), dense output with empty buckets materialized."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2023, 11, 15),), (dt.datetime(2024, 1, 2),),
+         (dt.datetime(2024, 2, 28),), (dt.datetime(2024, 4, 30),)],
+        "ts timestamp",
+    )
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "b", "value": "ts",
+                       "domain": {"type": "time", "interval": "2month",
+                                  "min": "2023-11-01", "max": "2024-07-01"}}],
+            "select": {"name": "n", "aggregate": "count"},
+            "sort": "b",
+        },
+        {"t": df},
+    )
+    got = [(r["b"], r["n"]) for r in out.collect()]
+    # even-month grid: Nov'23, Jan'24, Mar'24, May'24 (empty but dense)
+    assert got[0][0] is None and got[0][1] == 0
+    assert [(b.strftime("%Y-%m"), n) for b, n in got[1:]] == [
+        ("2023-11", 1), ("2024-01", 2), ("2024-03", 1), ("2024-05", 0),
+    ]
+    # quarters are 3-month calendar units
+    assert jx._duration_months("6quarter") == 18
+    assert jx._duration_months("2month") == 2
+    assert jx._duration_months("6week") is None
+    assert jx._duration_months("month") is None  # bare unit: date_trunc path
+
+
+def test_multivalue_edge_groups_per_value(spark):
+    """An edge on an array<scalar> value groups by each VALUE of the array
+    (MultivalueDecoder, es52/decoders.py:452); rows with empty arrays land
+    in the null bucket."""
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b"]), (3, []), (4, ["a", "b", "b"])],
+        "id long, tags array<string>",
+    )
+    out = jx.run(
+        {"from": "t", "edges": ["tags"],
+         "select": {"name": "n", "aggregate": "count"}, "sort": "tags"},
+        {"t": df},
+    )
+    got = {r["tags"]: r["n"] for r in out.collect()}
+    # every value occurrence counts (doc 4 contributes 2 to 'b')
+    assert got == {None: 1, "a": 2, "b": 4}
+    # ...and an aggregate over another column still sees the exploded rows
+    out2 = jx.run(
+        {"from": "t",
+         "edges": [{"name": "tag", "value": "tags"}],
+         "select": {"name": "s", "value": "id", "aggregate": "sum"},
+         "sort": "tag"},
+        {"t": df},
+    )
+    got2 = {r["tag"]: r["s"] for r in out2.collect()}
+    assert got2 == {None: 3, "a": 5, "b": 11}
+
+
+def test_select_expression_and_offset_op(frames):
+    """SelectOp expression form (aliased struct literal, expressions.py:436)
+    and OffsetOp positional row access (expressions.py:349)."""
+    rows = jx.run({"from": "t", "select": [
+        "i",
+        {"name": "pair", "value": {"select": [
+            {"name": "key", "value": "k"},
+            {"name": "double_i", "value": {"mul": ["i", 2]}},
+        ]}},
+        # row columns are (k, g, i, v, tag): offset 2 = i, -1 = tag
+        {"name": "third", "value": {"offset": 2}},
+        {"name": "last", "value": {"offset": -1}},
+        {"name": "oob", "value": {"offset": 99}},
+    ], "sort": "i"}, frames).collect()
+    r0 = rows[0]
+    assert r0["pair"].asDict() == {"key": "a", "double_i": 2}
+    assert [r["third"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[2]["last"] == "q"
+    assert all(r["oob"] is None for r in rows)
+    # offset outside run() has no row shape -> loud error
+    with pytest.raises(ValueError, match="offset"):
+        jx.compile_expr({"offset": 1})
+
+
 def test_window_rows_op(frames):
     """RowsOp {"rows": [v, offset]} -> lag/lead inside a window clause
     (jx_base/expressions.py:384-409)."""
