@@ -475,6 +475,67 @@ class SnapshotTable:
                     removed.append(f"metadata/{fn}")
         return removed
 
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """Column statistics maintenance op: per-column non-null count,
+        approximate cardinality (HLL), min and max, computed in ONE
+        distributed pass and committed into the snapshot properties — the
+        analog of the reference's background column-metadata daemon
+        (`vendor/jx_elasticsearch/meta.py:338,546` cardinality sampling),
+        re-expressed as an explicit Iceberg-style ANALYZE.
+
+        Stats serve planning/inspection (e.g. `suggest_n_buckets` re-sizing,
+        pruning decisions); nothing consumes them automatically yet.
+        Returns the stats dict; readable later via
+        ``snapshot()["properties"]["column_stats"]``.
+        """
+        snap = self.snapshot()
+        schema = T.StructType.fromJson(snap["schema"])
+        atomic = (T.NumericType, T.StringType, T.TimestampType, T.DateType,
+                  T.BooleanType)
+        names = [
+            f.name for f in schema.fields
+            if (columns is None or f.name in columns)
+            and isinstance(f.dataType, atomic) and f.name != DELETED_COL
+        ]
+        df = self.read()
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in names:
+            aggs += [
+                F.count(c).alias(f"n__{c}"),
+                F.approx_count_distinct(c).alias(f"card__{c}"),
+                F.min(c).alias(f"min__{c}"),
+                F.max(c).alias(f"max__{c}"),
+            ]
+        row = df.agg(*aggs).first().asDict()
+
+        def _j(v):  # JSON-safe rendering for snapshot storage
+            return v if v is None or isinstance(v, (int, float, bool, str)) \
+                else str(v)
+
+        stats = {
+            "rows": int(row["__rows"]),
+            "snapshot_version": snap["version"],
+            "ts_ms": int(time.time() * 1000),
+            "columns": {
+                c: {
+                    "count": int(row[f"n__{c}"]),
+                    "null_count": int(row["__rows"]) - int(row[f"n__{c}"]),
+                    "cardinality": int(row[f"card__{c}"]),
+                    "min": _j(row[f"min__{c}"]),
+                    "max": _j(row[f"max__{c}"]),
+                }
+                for c in names
+            },
+        }
+        new = dict(snap)
+        new["version"] = snap["version"] + 1
+        new["parent"] = snap["version"]
+        new["ts_ms"] = stats["ts_ms"]
+        new.setdefault("properties", {})
+        new["properties"] = dict(new["properties"], column_stats=stats)
+        self._commit_snapshot(new)
+        return stats
+
     # ---------------------------------------------------------------- misc
 
     def read_lineage(self) -> DataFrame:

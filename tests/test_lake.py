@@ -387,6 +387,27 @@ def test_cow_merge_folds_touched_deltas(spark, tmp_path):
     assert len(got) == 40
 
 
+def test_analyze_column_stats(spark, tmp_path):
+    """ANALYZE commits per-column count/cardinality/min/max into snapshot
+    properties (the column-metadata namespace,
+    vendor/jx_elasticsearch/meta.py:338 analog) in one pass."""
+    loc = str(tmp_path / "lake_stats")
+    table = _mk_base(spark, loc, n=30)
+    stats = table.analyze()
+    assert stats["rows"] == 30
+    c = stats["columns"]
+    assert 24 <= c["path"]["cardinality"] <= 36    # HLL approx of 30
+    assert c["repo"]["cardinality"] == 1 and c["repo"]["min"] == "r"
+    assert c["commit_seq"]["min"] == 0 and c["commit_seq"]["max"] == 29
+    assert c["lang"]["null_count"] == 0            # finalize fills lang
+    assert "__deleted" not in c and "ts" in c      # marker excluded
+    # persisted in the (new) snapshot; data pointers untouched
+    snap = table.snapshot()
+    assert snap["properties"]["column_stats"]["rows"] == 30
+    assert snap["parent"] == snap["version"] - 1
+    assert table.read().count() == 30
+
+
 def test_suggest_n_buckets():
     from activedata_etl_spark.lake.table import suggest_n_buckets
 
