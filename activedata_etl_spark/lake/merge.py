@@ -684,7 +684,16 @@ def _commit(
                     # (mode="upsert") never read them — they stay live
                     delta_dirs.pop(str(b), None)
     new["bucket_dirs"] = bucket_dirs
-    new["dir_versions"] = dir_versions
+    # prune dir_versions to dirs still referenced (bucket pointers + delta
+    # chains): keeps the snapshot JSON O(buckets), not O(commits ever made)
+    live_dirs = set(bucket_dirs.values()) | {
+        r for rels in delta_dirs.values() for r in rels
+    }
+    if data_rel is not None:
+        live_dirs.add(data_rel)
+    new["dir_versions"] = {
+        d: v for d, v in dir_versions.items() if d in live_dirs
+    }
     new["delta_dirs"] = delta_dirs
     new["bucket_rows"] = bucket_rows
     if version_cols is not None and not snap.get("version_cols"):

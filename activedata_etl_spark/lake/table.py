@@ -362,33 +362,98 @@ class SnapshotTable:
 
     # -------------------------------------------------------- maintenance
 
-    def compact(self, drop_tombstones: bool = False) -> int:
-        """Rewrite every bucket at the current schema in one new snapshot
-        (analog of re-ETL block consolidation; removes read-time union/cast).
+    def compact(
+        self,
+        drop_tombstones: bool = False,
+        buckets: list[int] | None = None,
+    ) -> int:
+        """Rewrite buckets at the current schema in one new snapshot (analog
+        of re-ETL block consolidation; removes read-time union/cast).
         MOR-lite delta files are folded into the base and cleared — ``read``
         already LWW-merges them, so compaction is read + rewrite.
+
+        ``buckets`` limits the rewrite to a subset — at 10^10 rows the
+        steady-state maintenance loop compacts ONLY the delta-carrying
+        buckets (see ``maybe_compact``), never the whole table: cost is
+        O(buckets compacted), untouched buckets keep their files.
 
         ``drop_tombstones=True`` garbage-collects delete markers — safe once
         the out-of-order horizon has passed (no stale event older than the
         tombstone can still arrive)."""
         snap = self.snapshot()
         new_version = snap["version"] + 1
-        df = self.read(include_tombstones=not drop_tombstones)
+        df = self.read(buckets=buckets, include_tombstones=not drop_tombstones)
         if DELETED_COL not in df.columns:
             df = df.withColumn(DELETED_COL, F.lit(False))
         df = self.bucket_of(df)
         rel = self.write_buckets(df, new_version)
-        bucket_rows = self.written_bucket_rows(rel)
+        written = self.written_bucket_rows(rel)
         new = dict(snap)
         new["version"] = new_version
         new["parent"] = snap["version"]
         new["ts_ms"] = int(time.time() * 1000)
-        new["bucket_dirs"] = {b: rel for b in bucket_rows}
-        new["dir_versions"] = {rel: new_version}
-        new["delta_dirs"] = {}
-        new["bucket_rows"] = bucket_rows
+        if buckets is None:
+            new["bucket_dirs"] = {b: rel for b in written}
+            new["dir_versions"] = {rel: new_version}
+            new["delta_dirs"] = {}
+            new["bucket_rows"] = written
+        else:
+            scope = {str(b) for b in buckets}
+            bucket_dirs = {b: d for b, d in snap["bucket_dirs"].items()
+                           if b not in scope}
+            bucket_rows = {b: n for b, n in snap.get("bucket_rows", {}).items()
+                           if b not in scope}
+            for b, n in written.items():
+                bucket_dirs[b] = rel
+                bucket_rows[b] = n
+            new["bucket_dirs"] = bucket_dirs
+            new["bucket_rows"] = bucket_rows
+            new["delta_dirs"] = {
+                b: rels for b, rels in snap.get("delta_dirs", {}).items()
+                if b not in scope
+            }
+            # prune dir_versions to dirs this snapshot still references —
+            # snapshot JSON stays O(buckets), not O(commits ever made)
+            live = set(bucket_dirs.values()) | {
+                r for rels in new["delta_dirs"].values() for r in rels
+            } | {rel}
+            new["dir_versions"] = {
+                d: v for d, v in
+                dict(snap["dir_versions"], **{rel: new_version}).items()
+                if d in live
+            }
         self._commit_snapshot(new)
         return new_version
+
+    def delta_stats(self) -> dict:
+        """Per-bucket delta file/dir pressure from snapshot metadata only —
+        the input to the compaction policy; no filesystem walk, no job."""
+        snap = self.snapshot()
+        deltas = {b: len(r) for b, r in snap.get("delta_dirs", {}).items() if r}
+        return {
+            "buckets_with_deltas": len(deltas),
+            "max_deltas_per_bucket": max(deltas.values(), default=0),
+            "total_delta_dirs": sum(deltas.values()),
+            "per_bucket": deltas,
+        }
+
+    def maybe_compact(
+        self,
+        max_deltas_per_bucket: int = 8,
+        drop_tombstones: bool = False,
+    ) -> int | None:
+        """Steady-state maintenance hook: compact ONLY the buckets whose
+        delta chain exceeds ``max_deltas_per_bucket``, bounding read-time
+        merge work to a constant number of delta files per bucket while
+        keeping compaction cost O(hot buckets), not O(table).  Returns the
+        new snapshot version, or None when nothing crossed the threshold."""
+        hot = [
+            int(b) for b, n in self.delta_stats()["per_bucket"].items()
+            if n > max_deltas_per_bucket
+        ]
+        if not hot:
+            return None
+        return self.compact(drop_tombstones=drop_tombstones, buckets=hot)
 
     def update_where(self, condition, set_exprs: dict) -> int:
         """UPDATE ... SET ... WHERE — the reference's in-place update

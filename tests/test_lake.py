@@ -387,6 +387,69 @@ def test_cow_merge_folds_touched_deltas(spark, tmp_path):
     assert len(got) == 40
 
 
+def test_subset_compaction_and_maybe_compact(spark, tmp_path):
+    """Steady-state maintenance: maybe_compact folds ONLY the buckets whose
+    delta chain crossed the threshold — O(hot buckets), not O(table) — and
+    untouched buckets keep their original files; dir_versions stays pruned
+    to live dirs (snapshot metadata must not grow with commit count)."""
+    loc = str(tmp_path / "lake_subc")
+    table = _mk_base(spark, loc, n=200)
+
+    # pile 3 delta batches onto the same key -> one hot bucket with 3 deltas
+    for j in range(3):
+        b = spark.createDataFrame(
+            [(0, 300 + j, 300 + j, "update", "r", "f7.py", "d" * 12, None,
+              f"V{j}", None)],
+            COLS_V1,
+        )
+        assert apply_batch(table, _norm(b), j + 1)["merge_mode"] == "delta"
+    stats = table.delta_stats()
+    assert stats["max_deltas_per_bucket"] == 3
+
+    # below threshold: no-op
+    assert table.maybe_compact(max_deltas_per_bucket=3) is None
+    before_dirs = dict(table.snapshot()["bucket_dirs"])
+
+    v = table.maybe_compact(max_deltas_per_bucket=2)
+    assert v is not None
+    snap = table.snapshot()
+    assert table.delta_stats()["buckets_with_deltas"] == 0
+    # only the hot bucket's pointer moved; every other bucket kept its files
+    moved = [b for b, d in snap["bucket_dirs"].items() if before_dirs.get(b) != d]
+    assert len(moved) == 1
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["f7.py"] == "V2" and len(got) == 200
+
+    # dir_versions references exactly the live dirs
+    live = set(snap["bucket_dirs"].values())
+    assert set(snap["dir_versions"]) == live
+
+
+def test_delta_free_buckets_read_plain(spark, tmp_path):
+    """The read-time LWW merge must be confined to delta-carrying buckets:
+    a table (or bucket subset) without deltas keeps the plain parquet scan —
+    no Aggregate node, so pushdown/pruning still reach the reader."""
+    loc = str(tmp_path / "lake_plain")
+    table = _mk_base(spark, loc, n=100)
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "Aggregate" not in plan(table.read())  # no deltas yet
+
+    b1 = spark.createDataFrame(
+        [(0, 200, 200, "update", "r", "f7.py", "d" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    assert apply_batch(table, _norm(b1), 1)["merge_mode"] == "delta"
+    delta_buckets = [int(b) for b in table.snapshot()["delta_dirs"]]
+    clean = [b for b in range(32) if b not in delta_buckets][:4]
+    assert "Aggregate" not in plan(table.read(buckets=clean))
+    assert "Aggregate" in plan(table.read(buckets=delta_buckets))
+    # full read: one merge for the delta buckets, plain scan for the rest
+    assert plan(table.read()).count("Aggregate") == 1
+
+
 def test_analyze_column_stats(spark, tmp_path):
     """ANALYZE commits per-column count/cardinality/min/max into snapshot
     properties (the column-metadata namespace,
