@@ -93,6 +93,7 @@ def replay_journal(
     lww_strategy: str = "structmax",
     merge_mode: str = "auto",
     expected_rows: int | None = None,
+    max_deltas_per_bucket: int | None = 16,
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -100,6 +101,12 @@ def replay_journal(
     journal partition, so per-partition delivery order is preserved while
     commit_seq stays out-of-order (bounded-delay permutation), exercising the
     external_gte guard.
+
+    ``max_deltas_per_bucket`` is the steady-state maintenance knob: after a
+    batch lands as a MOR-lite delta, buckets whose delta chain exceeds the
+    threshold are subset-compacted (``SnapshotTable.maybe_compact``), so
+    read-time merge work per bucket stays bounded without any external
+    scheduler.  ``None`` disables in-loop compaction.
 
     ``offset_range=(lo, hi)`` replays a bounded slice — the reference's
     backfill-by-key-range (`etl_one`/`parse_id_argument`,
@@ -196,6 +203,8 @@ def replay_journal(
             ),
         )
         summaries.append(s)
+        if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
+            table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)
         if not s.get("skipped"):
             total_read += s["rows_read"]
             total_applied += s["rows_applied"]

@@ -556,6 +556,34 @@ def test_multivalue_edge_groups_per_value(spark):
     assert got2 == {None: 3, "a": 5, "b": 11}
 
 
+def test_object_edge_groups_by_whole_struct(spark):
+    """An edge whose value is a whole OBJECT (struct) groups by the object's
+    value — the ObjectDecoder semantics (es52/decoders.py:499); partitions
+    are the distinct structs."""
+    df = spark.createDataFrame(
+        [(1, ("us", "web")), (2, ("us", "web")), (3, ("de", "app")),
+         (4, (None, "web"))],
+        "id long, ctx struct<country: string, channel: string>",
+    )
+    out = jx.run(
+        {"from": "t", "edges": [{"name": "ctx", "value": "ctx"}],
+         "select": {"name": "n", "aggregate": "count"}},
+        {"t": df},
+    )
+    got = {tuple(r["ctx"]): r["n"] for r in out.collect()}
+    assert got == {("us", "web"): 2, ("de", "app"): 1, (None, "web"): 1}
+    # a struct BUILT by a select expression works as an edge value too
+    out2 = jx.run(
+        {"from": "t",
+         "edges": [{"name": "k", "value": {"select": [
+             {"name": "chan", "value": "ctx.channel"}]}}],
+         "select": {"name": "n", "aggregate": "count"}},
+        {"t": df},
+    )
+    got2 = {r["k"]["chan"]: r["n"] for r in out2.collect()}
+    assert got2 == {"web": 3, "app": 1}
+
+
 def test_select_expression_and_offset_op(frames):
     """SelectOp expression form (aliased struct literal, expressions.py:436)
     and OffsetOp positional row access (expressions.py:349)."""

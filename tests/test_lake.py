@@ -425,6 +425,30 @@ def test_subset_compaction_and_maybe_compact(spark, tmp_path):
     assert set(snap["dir_versions"]) == live
 
 
+def test_replay_loop_auto_compacts_delta_chains(spark, tmp_path):
+    """replay_journal's in-loop maintenance: once a bucket's delta chain
+    crosses max_deltas_per_bucket, it is subset-compacted mid-replay, so
+    chains stay bounded without an external scheduler."""
+    loc = str(tmp_path / "lake_loopc")
+    table = _mk_base(spark, loc, n=400)
+    # hand-roll the loop shape: replay_journal needs a journal dir, so drive
+    # apply_batch + maybe_compact exactly as the loop does
+    for j in range(5):
+        b = spark.createDataFrame(
+            [(0, 500 + j, 500 + j, "update", "r", "f7.py", "d" * 12, None,
+              f"W{j}", None)],
+            COLS_V1,
+        )
+        s = apply_batch(table, _norm(b), j + 1)
+        assert s["merge_mode"] == "delta"
+        if s["merge_mode"] == "delta":
+            table.maybe_compact(max_deltas_per_bucket=2)
+    # the chain never exceeded the threshold + 1 batch
+    assert table.delta_stats()["max_deltas_per_bucket"] <= 2
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["f7.py"] == "W4" and len(got) == 400
+
+
 def test_delta_free_buckets_read_plain(spark, tmp_path):
     """The read-time LWW merge must be confined to delta-carrying buckets:
     a table (or bucket subset) without deltas keeps the plain parquet scan —
