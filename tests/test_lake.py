@@ -495,6 +495,72 @@ def test_analyze_column_stats(spark, tmp_path):
     assert table.read().count() == 30
 
 
+def test_mixed_mode_replay_converges_to_oracle(spark, tmp_path):
+    """Split invariance across PHYSICAL WRITE STRATEGIES: the same journal
+    applied as one big CoW batch vs many small batches with forced
+    alternating cow/delta modes (plus a mid-stream subset compaction) must
+    converge to the identical table state — the pandas oracle referees."""
+    from activedata_etl_spark.functions.normalize import (
+        finalize_records,
+        normalize_keys,
+    )
+    from activedata_etl_spark.journal import journal_df
+    from tests.oracle import assert_table_matches_oracle
+
+    j = journal_df(spark, 2048).persist()
+    pdf = j.toPandas()
+
+    loc = str(tmp_path / "lake_mixed")
+    table = ensure_table(spark, loc, j.schema, n_buckets=16)
+    n_chunks, per = 8, 256
+    for i in range(n_chunks):
+        chunk = j.where(F.col("offset").between(i * per, (i + 1) * per - 1))
+        mode = ["cow", "delta"][i % 2]
+        apply_batch(
+            table, normalize_keys(chunk), i, merge_mode=mode,
+            finalize_fn=finalize_records,
+        )
+        if i == 5:
+            table.maybe_compact(max_deltas_per_bucket=0)  # force a mid-fold
+    assert_table_matches_oracle(table.read(), pdf)
+
+    # the one-big-batch CoW twin agrees row-for-row
+    loc2 = str(tmp_path / "lake_onebatch")
+    t2 = ensure_table(spark, loc2, j.schema, n_buckets=16)
+    apply_batch(t2, normalize_keys(j), 0, merge_mode="cow",
+                finalize_fn=finalize_records)
+    a = sorted(map(tuple, table.read().collect()))
+    b = sorted(map(tuple, t2.read().collect()))
+    assert a == b
+    j.unpersist()
+
+
+def test_delta_widens_column_type(spark, tmp_path):
+    """Type widening THROUGH the delta path: a delta batch carrying a wider
+    column type updates the snapshot schema; read-time alignment upcasts the
+    narrow base files before the LWW merge."""
+    loc = str(tmp_path / "lake_dwiden")
+    s1 = COLS_V1 + ", size int"
+    s2 = COLS_V1 + ", size double"
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, "X" * 50, None, i)
+        for i in range(100)
+    ]
+    b0 = spark.createDataFrame(rows, s1)
+    table = ensure_table(spark, loc, b0.schema, n_buckets=32)
+    apply_batch(table, _norm(b0), 0)
+
+    b1 = spark.createDataFrame(
+        [(0, 200, 200, "update", "r", "f7.py", "d" * 12, None, "Y", None, 2.5)],
+        s2,
+    )
+    s = apply_batch(table, _norm(b1), 1)
+    assert s["merge_mode"] == "delta"
+    assert any("widen size: int -> double" in c for c in s["schema_changes"])
+    got = {r["path"]: r["size"] for r in table.read().collect()}
+    assert got["f7.py"] == 2.5 and got["f0.py"] == 0.0 and len(got) == 100
+
+
 def test_suggest_n_buckets():
     from activedata_etl_spark.lake.table import suggest_n_buckets
 
