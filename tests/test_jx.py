@@ -556,6 +556,65 @@ def test_multivalue_edge_groups_per_value(spark):
     assert got2 == {None: 3, "a": 5, "b": 11}
 
 
+def test_full_reference_registry_compiles(spark):
+    """Completeness gate: every key of the reference's operator registry
+    (vendor/jx_base/expressions.py:3239-3310, all 70 spellings incl.
+    aliases) compiles through compile_expr — context-dependent ops (rows,
+    offset) given their window/row context."""
+    from pyspark.sql import Window as W
+
+    samples = {
+        "add": {"add": ["x", 1]}, "and": {"and": [True, True]},
+        "basic.add": {"basic.add": ["x", 1]},
+        "basic.mul": {"basic.mul": ["x", 2]},
+        "between": {"between": {"x": [1, 2]}},
+        "case": {"case": [{"when": True, "then": 1}, 0]},
+        "coalesce": {"coalesce": ["x", 1]}, "concat": {"concat": ["x", "y"]},
+        "count": {"count": ["x", "y"]}, "date": {"date": "2024-01-01"},
+        "div": {"div": ["x", 2]}, "divide": {"divide": ["x", 2]},
+        "eq": {"eq": {"x": 1}}, "exists": {"exists": "x"},
+        "exp": {"exp": ["x", 2]}, "find": {"find": {"x": "a"}},
+        "first": {"first": "x"}, "floor": {"floor": ["x", 2]},
+        "from_unix": {"from_unix": "x"}, "get": {"get": ["x", 0]},
+        "gt": {"gt": {"x": 1}}, "gte": {"gte": {"x": 1}},
+        "in": {"in": {"x": [1, 2]}}, "instr": {"instr": {"x": "a"}},
+        "is_number": {"is_number": "x"}, "is_string": {"is_string": "x"},
+        "last": {"last": "x"}, "left": {"left": {"x": 2}},
+        "length": {"length": "x"}, "literal": {"literal": 5},
+        "lt": {"lt": {"x": 1}}, "lte": {"lte": {"x": 1}},
+        "match_all": {"match_all": {}}, "max": {"max": ["x", "y"]},
+        "minus": {"minus": ["x", 1]}, "missing": {"missing": "x"},
+        "mod": {"mod": ["x", 2]}, "mul": {"mul": ["x", 2]},
+        "mult": {"mult": ["x", 2]}, "multiply": {"multiply": ["x", 2]},
+        "ne": {"ne": {"x": 1}}, "neq": {"neq": {"x": 1}},
+        "not": {"not": {"eq": {"x": 1}}}, "not_left": {"not_left": {"x": 1}},
+        "not_right": {"not_right": {"x": 1}}, "null": {"null": {}},
+        "number": {"number": "x"}, "offset": {"offset": 0},
+        "or": {"or": [True]}, "postfix": {"postfix": {"x": "a"}},
+        "prefix": {"prefix": {"x": "a"}},
+        "range": {"range": {"x": {"gte": 1, "lt": 2}}},
+        "regex": {"regex": {"x": "a.*"}}, "regexp": {"regexp": {"x": "a.*"}},
+        "right": {"right": {"x": 1}}, "rows": {"rows": ["x", -1]},
+        "script": {"script": "1+1"},
+        "select": {"select": [{"name": "a", "value": "x"}]},
+        "split": {"split": {"x": ","}}, "string": {"string": "x"},
+        "suffix": {"suffix": {"x": "a"}}, "sub": {"sub": ["x", 1]},
+        "subtract": {"subtract": ["x", 1]}, "sum": {"sum": ["x", 1]},
+        "term": {"term": {"x": 1}}, "terms": {"terms": {"x": [1]}},
+        "tuple": {"tuple": ["x", "y"]}, "union": {"union": ["x", "y"]},
+        "unix": {"unix": "x"},
+        "when": {"when": {"eq": {"x": 1}}, "then": 1, "else": 0},
+    }
+    assert len(samples) == 70
+    for op, expr in samples.items():
+        env = None
+        if op == "offset":
+            env = {"__columns__": ["x", "y"]}
+        elif op == "rows":
+            env = {"__window__": W.orderBy("x")}
+        jx.compile_expr(expr, env)  # must not raise
+
+
 def test_object_edge_groups_by_whole_struct(spark):
     """An edge whose value is a whole OBJECT (struct) groups by the object's
     value — the ObjectDecoder semantics (es52/decoders.py:499); partitions
