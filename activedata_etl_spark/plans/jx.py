@@ -705,6 +705,17 @@ def _domain_expr(edge: dict, env: dict | None = None) -> Column:
             return F.when(value.isin(*parts), value)
         return value
     if typ == "range" or typ == "numeric":
+        if dom.get("partitions"):
+            # explicit-partition RangeDomain (jx_base/domains.py:655-689):
+            # parts are [{min, max, <key>: label}] half-open intervals; the
+            # min/max/interval are IGNORED, holes bin to null (allowNulls)
+            labels, ivs = _range_partition_labels(dom)
+            out = None
+            for (p_lo, p_hi), label in zip(ivs, labels):
+                cond = (value >= F.lit(p_lo)) & (value < F.lit(p_hi))
+                out = F.when(cond, F.lit(label)) if out is None \
+                    else out.when(cond, F.lit(label))
+            return out
         interval = dom.get("interval", 1)
         lo, hi = dom.get("min"), dom.get("max")
         binned = F.floor(value / interval) * interval
@@ -763,6 +774,29 @@ def _domain_expr(edge: dict, env: dict | None = None) -> Column:
     raise ValueError(f"unsupported domain type: {typ}")
 
 
+def _range_partition_labels(dom: dict) -> tuple[list, list]:
+    """Labels + (min, max) intervals of an explicit-partition RangeDomain.
+    Mirrors the reference's validation (domains.py:663-684): every part must
+    carry the key property; partitions must not overlap (holes are fine)."""
+    key = dom.get("key", "name")
+    parts = dom["partitions"]
+    labels, ivs = [], []
+    for p in parts:
+        if key not in p:
+            raise ValueError(
+                f"range partition {p!r} lacks the key property {key!r}"
+            )
+        labels.append(p[key])
+        ivs.append((p["min"], p["max"]))
+    for i, (alo, ahi) in enumerate(ivs):
+        for j, (blo, bhi) in enumerate(ivs):
+            if i != j and alo <= blo < ahi:
+                raise ValueError(
+                    f"range partitions overlap: {parts[i]!r} and {parts[j]!r}"
+                )
+    return labels, ivs
+
+
 def _set_partition_values(dom: dict):
     parts = dom.get("partitions")
     if not parts:
@@ -802,6 +836,8 @@ def _domain_parts(edge: dict):
     typ = dom.get("type", "default")
     if typ in ("default", "set"):
         return _set_partition_values(dom)
+    if typ in ("range", "numeric") and dom.get("partitions"):
+        return _range_partition_labels(dom)[0]  # dense: every labeled part
     lo, hi = dom.get("min"), dom.get("max")
     if lo is None or hi is None:
         return None

@@ -528,6 +528,47 @@ def test_counted_calendar_duration_time_domain(spark):
     assert jx._duration_months("month") is None  # bare unit: date_trunc path
 
 
+def test_range_domain_explicit_partitions(frames):
+    """Explicit-partition RangeDomain (domains.py:655-689): labeled half-open
+    intervals, holes bin to the null bucket, empty parts still materialize
+    (dense), overlapping parts are rejected loudly."""
+    out = jx.run(
+        {"from": "t",
+         "edges": [{"name": "band", "value": "i",
+                    "domain": {"type": "range", "partitions": [
+                        {"name": "low", "min": 0, "max": 3},
+                        # hole at i=3..4
+                        {"name": "high", "min": 5, "max": 10},
+                        {"name": "huge", "min": 100, "max": 200},  # empty
+                    ]}}],
+         "select": {"name": "n", "aggregate": "count"}, "sort": "band"},
+        frames,
+    )
+    got = {r["band"]: r["n"] for r in out.collect()}
+    # i values 1..5: low={1,2}, hole={3,4}->null, high={5}, huge empty
+    assert got == {None: 2, "low": 2, "high": 1, "huge": 0}
+    with pytest.raises(ValueError, match="overlap"):
+        jx.run(
+            {"from": "t",
+             "edges": [{"name": "b", "value": "i",
+                        "domain": {"type": "range", "partitions": [
+                            {"name": "a", "min": 0, "max": 5},
+                            {"name": "b", "min": 4, "max": 8},
+                        ]}}],
+             "select": {"name": "n", "aggregate": "count"}},
+            frames,
+        )
+    with pytest.raises(ValueError, match="key property"):
+        jx.run(
+            {"from": "t",
+             "edges": [{"name": "b", "value": "i",
+                        "domain": {"type": "range",
+                                   "partitions": [{"min": 0, "max": 5}]}}],
+             "select": {"name": "n", "aggregate": "count"}},
+            frames,
+        )
+
+
 def test_multivalue_edge_groups_per_value(spark):
     """An edge on an array<scalar> value groups by each VALUE of the array
     (MultivalueDecoder, es52/decoders.py:452); rows with empty arrays land
