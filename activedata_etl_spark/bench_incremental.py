@@ -75,14 +75,25 @@ def main() -> None:
         modes_seen.append(s["merge_mode"])
         if s.get("data_rel"):
             inc_bytes += table.dir_bytes(s["data_rel"])
+    inc_ingest_sec = time.time() - t1  # the batches alone
     compact_sec = 0.0
     compact_bytes = 0
+    read_sec_with_deltas = read_sec_compacted = None
     if mode == "delta":
+        # reader-side cost of MOR: full-scan count with the delta chains
+        # live vs after compaction (the price readers pay between compacts);
+        # measurement reads are EXCLUDED from the ingest throughput number
+        tr = time.time()
+        table.read().count()
+        read_sec_with_deltas = round(time.time() - tr, 3)
         tc = time.time()
         v = table.compact()
         compact_sec = time.time() - tc
         compact_bytes = table.dir_bytes(f"data/v{v}")
-    inc_sec = time.time() - t1
+        tr = time.time()
+        table.read().count()
+        read_sec_compacted = round(time.time() - tr, 3)
+    inc_sec = inc_ingest_sec + compact_sec
 
     inc_total_events = inc_events * inc_batches
     print(json.dumps({
@@ -98,6 +109,8 @@ def main() -> None:
         "inc_bytes_written": inc_bytes + compact_bytes,
         "inc_delta_bytes": inc_bytes if mode == "delta" else None,
         "compact_sec": round(compact_sec, 3),
+        "read_sec_with_deltas": read_sec_with_deltas,
+        "read_sec_compacted": read_sec_compacted,
     }))
 
 

@@ -223,6 +223,8 @@ def main() -> None:
                 inc_delta["inc_bytes_written"] / changed, 1
             ),
             "compact_sec": inc_delta["compact_sec"],
+            "read_sec_with_deltas": inc_delta.get("read_sec_with_deltas"),
+            "read_sec_compacted": inc_delta.get("read_sec_compacted"),
         }
         qtimes["cdc_incremental_delta"] = inc_delta["inc_sec"]
         qtimes["cdc_incremental_cow"] = inc_cow["inc_sec"]
