@@ -212,9 +212,15 @@ class SnapshotTable:
         self,
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
-        """Scan the table (optionally bucket-pruned), aligned to the current
-        schema.
+        """Scan the table (optionally bucket-pruned), aligned to the
+        snapshot's schema.
+
+        ``version`` pins the read to an older snapshot (Iceberg time travel:
+        every snapshot is self-contained, immutable file lists + schema), as
+        long as ``expire_snapshots`` has not pruned it — readers holding a
+        version are never affected by concurrent commits.
 
         Buckets that carry MOR-lite delta files (small incremental batches,
         see ``merge.apply_batch(merge_mode=...)``) are merged at read time:
@@ -223,7 +229,7 @@ class SnapshotTable:
         exactly the buckets that have deltas.  Buckets without deltas take
         the plain scan path with zero overhead.
         """
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         wanted = None if buckets is None else {str(b) for b in buckets}
         delta_dirs = {

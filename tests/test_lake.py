@@ -495,6 +495,35 @@ def test_analyze_column_stats(spark, tmp_path):
     assert table.read().count() == 30
 
 
+def test_time_travel_read(spark, tmp_path):
+    """Snapshot isolation as an API: read(version=v) reproduces snapshot v
+    exactly — file lists and SCHEMA — regardless of later commits (until
+    expire_snapshots prunes it)."""
+    loc = str(tmp_path / "lake_tt")
+    table = _mk_base(spark, loc, n=10)
+    v1 = table.current_version()
+
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f3.py", "d" * 12, None, "NEW", None,
+          "100644"),
+         (0, 101, 101, "delete", "r", "f4.py", "d" * 12, None, None, None,
+          None)],
+        COLS_V2,
+    )
+    apply_batch(table, _norm(b1), 1)
+
+    now = {r["path"]: r["content"] for r in table.read().collect()}
+    assert now["f3.py"] == "NEW" and "f4.py" not in now
+    old = table.read(version=v1)
+    got = {r["path"]: r["content"] for r in old.collect()}
+    assert got["f3.py"] == "X" * 50 and "f4.py" in got and len(got) == 10
+    assert "mode" not in old.columns  # pre-evolution schema, not current
+    # expiry prunes the old snapshot -> pinned read now fails loudly
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.read(version=v1)
+
+
 def test_mixed_mode_replay_converges_to_oracle(spark, tmp_path):
     """Split invariance across PHYSICAL WRITE STRATEGIES: the same journal
     applied as one big CoW batch vs many small batches with forced
