@@ -14,8 +14,11 @@ Subcommands mirror the reference's process entry points
   replay    chunked batch replay (availableNow analog; resumable, fenced)
   stream    Structured Streaming tail with checkpoint
   backfill  bounded offset-range replay (`--id a..b` analog)
-  compact   rewrite all buckets at the current schema
+  compact   rewrite buckets at the current schema (folds MOR deltas;
+            --buckets limits to a subset, --if-deltas-over N compacts only
+            buckets whose delta chain crossed the threshold)
   expire    drop unreachable snapshots + data dirs
+  analyze   commit per-column count/cardinality/min/max stats
   lineage   print the per-batch/per-partition lineage table
 """
 
@@ -36,8 +39,13 @@ def _parser() -> argparse.ArgumentParser:
     r.add_argument("--table", required=True)
     r.add_argument("--chunk-events", type=int, default=50_000_000)
     r.add_argument("--salted", action="store_true")
-    r.add_argument("--n-buckets", type=int, default=64)
+    r.add_argument("--n-buckets", type=int, default=None,
+                   help="default: auto-size from --expected-rows")
+    r.add_argument("--expected-rows", type=int, default=None)
     r.add_argument("--lineage", choices=["full", "summary"], default="full")
+    r.add_argument("--merge-mode", choices=["auto", "cow", "delta"],
+                   default="auto")
+    r.add_argument("--max-deltas-per-bucket", type=int, default=16)
 
     s = sub.add_parser("stream")
     s.add_argument("--journal", required=True)
@@ -52,11 +60,18 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--offsets", required=True, help="lo..hi inclusive range")
     b.add_argument("--chunk-events", type=int, default=50_000_000)
 
-    for name in ("compact", "expire", "lineage"):
+    for name in ("compact", "expire", "analyze", "lineage"):
         c = sub.add_parser(name)
         c.add_argument("--table", required=True)
         if name == "expire":
             c.add_argument("--keep-last", type=int, default=2)
+        if name == "compact":
+            c.add_argument("--drop-tombstones", action="store_true")
+            c.add_argument("--buckets", default=None,
+                           help="comma-separated bucket ids (subset compact)")
+            c.add_argument("--if-deltas-over", type=int, default=None,
+                           help="only compact buckets whose delta chain "
+                                "exceeds N files (maybe_compact)")
     return p
 
 
@@ -72,7 +87,9 @@ def main(argv: list[str] | None = None) -> None:
         r = replay_journal(
             spark, args.journal, args.table, chunk_events=args.chunk_events,
             salted=args.salted, n_buckets=args.n_buckets, verbose=True,
-            lineage_level=args.lineage,
+            lineage_level=args.lineage, merge_mode=args.merge_mode,
+            expected_rows=args.expected_rows,
+            max_deltas_per_bucket=args.max_deltas_per_bucket,
         )
         r.pop("summaries", None)
         print(json.dumps(r))
@@ -98,8 +115,20 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "compact":
         from activedata_etl_spark.lake.table import SnapshotTable
 
-        v = SnapshotTable(spark, args.table).compact()
+        t = SnapshotTable(spark, args.table)
+        if args.if_deltas_over is not None:
+            v = t.maybe_compact(max_deltas_per_bucket=args.if_deltas_over,
+                                drop_tombstones=args.drop_tombstones)
+        else:
+            buckets = ([int(b) for b in args.buckets.split(",")]
+                       if args.buckets else None)
+            v = t.compact(drop_tombstones=args.drop_tombstones,
+                          buckets=buckets)
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "analyze":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        print(json.dumps(SnapshotTable(spark, args.table).analyze()))
     elif args.cmd == "expire":
         from activedata_etl_spark.lake.table import SnapshotTable
 

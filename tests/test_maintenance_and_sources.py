@@ -386,6 +386,36 @@ def test_diff_apply_udf(spark):
     assert out["applied"] == b
 
 
+def test_cli_replay_analyze_compact(spark, tmp_path, capsys):
+    """spark-submit CLI round-trip: replay -> analyze -> threshold compact —
+    the deploy surface (`main.py`) drives the same engine APIs
+    (getOrCreate reuses the test session)."""
+    import json as _json
+
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.main import main as cli
+
+    jd, loc = str(tmp_path / "j"), str(tmp_path / "lake")
+    write_journal(spark, 2048, jd)
+    cli(["replay", "--journal", jd, "--table", loc,
+         "--chunk-events", "2048", "--expected-rows", "1000"])
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")]
+    r = _json.loads(out[-1])
+    assert r["events"] > 2000 and r["batches"] == 1
+
+    cli(["analyze", "--table", loc])
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] > 0 and "repo" in stats["columns"]
+
+    cli(["compact", "--table", loc, "--if-deltas-over", "0"])
+    v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["compacted_to_version"] is None  # no deltas -> no-op
+
+    cli(["compact", "--table", loc, "--drop-tombstones"])
+    v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(v["compacted_to_version"], int)
+
+
 def test_es_bulk_formatter(spark, tmp_path):
     """_bulk NDJSON: alternating action/source lines with external_gte
     versioning (elasticsearch.py:314-335)."""
