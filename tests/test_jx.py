@@ -595,6 +595,17 @@ def test_multivalue_edge_groups_per_value(spark):
     )
     got2 = {r["tag"]: r["s"] for r in out2.collect()}
     assert got2 == {None: 3, "a": 5, "b": 11}
+    # multivalue + explicit SetDomain: per-value binning composes with the
+    # dense domain (out-of-domain values -> null bucket, empty parts kept)
+    out3 = jx.run(
+        {"from": "t",
+         "edges": [{"name": "tag", "value": "tags",
+                    "domain": {"type": "set", "partitions": ["a", "zz"]}}],
+         "select": {"name": "n", "aggregate": "count"}},
+        {"t": df},
+    )
+    got3 = {r["tag"]: r["n"] for r in out3.collect()}
+    assert got3 == {"a": 2, "zz": 0, None: 5}  # 4 b-occurrences + 1 empty
 
 
 def test_full_reference_registry_compiles(spark):
