@@ -19,6 +19,8 @@ Subcommands mirror the reference's process entry points
             buckets whose delta chain crossed the threshold)
   expire    drop unreachable snapshots + data dirs
   analyze   commit per-column count/cardinality/min/max stats
+  verify    distributed equality audit: converged table vs the journal's
+            expected LWW state (row counts + per-row anti-join diffs)
   lineage   print the per-batch/per-partition lineage table
 """
 
@@ -53,6 +55,10 @@ def _parser() -> argparse.ArgumentParser:
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--available-now", action="store_true")
     s.add_argument("--n-buckets", type=int, default=64)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--journal", required=True)
+    v.add_argument("--table", required=True)
 
     b = sub.add_parser("backfill")
     b.add_argument("--journal", required=True)
@@ -129,6 +135,25 @@ def main(argv: list[str] | None = None) -> None:
         from activedata_etl_spark.lake.table import SnapshotTable
 
         print(json.dumps(SnapshotTable(spark, args.table).analyze()))
+    elif args.cmd == "verify":
+        from activedata_etl_spark.journal import expected_state_df, read_journal
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        # distributed audit, no driver-side materialization: anti-joins on
+        # the invariant columns (per-row content equality, the north-rule
+        # check) — non-empty diffs mean divergence
+        journal = read_journal(spark, args.journal)
+        cols = ["repo", "path", "commit", "content"]
+        exp = expected_state_df(journal).select(*cols)
+        got = SnapshotTable(spark, args.table).read().select(*cols)
+        missing = exp.exceptAll(got).count()
+        extra = got.exceptAll(exp).count()
+        out = {"table_rows": got.count(), "expected_rows": exp.count(),
+               "missing": missing, "extra": extra,
+               "converged": missing == 0 and extra == 0}
+        print(json.dumps(out))
+        if not out["converged"]:
+            sys.exit(1)
     elif args.cmd == "expire":
         from activedata_etl_spark.lake.table import SnapshotTable
 

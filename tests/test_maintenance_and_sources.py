@@ -415,6 +415,19 @@ def test_cli_replay_analyze_compact(spark, tmp_path, capsys):
     v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(v["compacted_to_version"], int)
 
+    # distributed convergence audit: replayed table == journal's LWW state
+    cli(["verify", "--journal", jd, "--table", loc])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["converged"] and rep["missing"] == 0 and rep["extra"] == 0
+    # ...and divergence is detected (and exits nonzero): delete one row
+    import pytest as _pytest
+
+    SnapshotTable(spark, loc).delete_where("offset = 0 or commit_seq = 1")
+    with _pytest.raises(SystemExit):
+        cli(["verify", "--journal", jd, "--table", loc])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["converged"] and rep["missing"] >= 1
+
 
 def test_es_bulk_formatter(spark, tmp_path):
     """_bulk NDJSON: alternating action/source lines with external_gte
