@@ -83,6 +83,30 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Round-robin rebalance applied ONLY when the scan is under-parallel.
+
+    Heavy per-row subtrees (shingle HOFs, k-hash minhash signatures,
+    hyperplane projections) execute inside the MAP task that reads the
+    file, BEFORE the first exchange.  A small local parquet (one file =
+    one split) would serialize all of that on one core — measured 2.6 s
+    vs 0.5 s for shingling sf0.1 on 32 cores.  At web scale inputs arrive
+    as thousands of file-splits, the partition check passes, and this is
+    a no-op (no extra shuffle of raw text/vectors).  Callers narrow the
+    projection FIRST so any rebalance that does happen moves only the
+    needed columns.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # non-batch plans (e.g. streaming) have no .rdd
+        return df
+    if parts >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def shingles_of_tokens(toks: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles from an already-materialized token
     ARRAY COLUMN (1-based windows).  The tokens MUST be a bound column, not
@@ -107,14 +131,25 @@ def shingles_of_tokens(toks: F.Column, n: int = 3) -> F.Column:
 
 
 def shingled(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, sh) frame: tokenize ONCE into a column, then window over it."""
+    """(id, sh) frame: tokenize ONCE into a column, then window over it.
+
+    The no-shingle guard filters on the TOKEN COUNT, not ``size(sh) > 0``
+    (equivalent: a doc has a length-n window iff it has >= n tokens).
+    Catalyst pushes the filter below the fanout exchange and substitutes
+    the projection into the condition — with no CSE inside HOF lambdas a
+    ``size(sh)`` condition re-ran the tokenizer regex per element_at,
+    serially, in the scan task (measured 7.8 s vs 0.6 s at sf0.1).  The
+    token-count predicate pays ONE regexp per row when pushed down.
+    """
+    df = fanout(df.select(id_col, text_col))
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     return (
-        df.withColumn("__toks", F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+        df.where(F.size(toks) >= n)
+        .withColumn("__toks", toks)
         .select(
             F.col(id_col).alias("id"),
             shingles_of_tokens(F.col("__toks"), n).alias("sh"),
         )
-        .where(F.size("sh") > 0)
     )
 
 
@@ -139,21 +174,66 @@ def ngram_jaccard_pairs(
     # subtree ran FOUR times (event-log audit: 4x identical 471MB shuffle
     # writes); with it every shingle-keyed consumer hangs off a single
     # ReusedExchange, and the cap join is co-partitioned (no extra shuffle)
-    ex = sh.select("id", F.explode("sh").alias("shingle")).repartition("shingle")
+    # explode_OUTER, deliberately: plain explode lets Catalyst infer
+    # `size(sh) > 0 AND isnotnull(sh)` predicates (InferFiltersFromGenerate)
+    # which push below the fanout exchange and INLINE the whole shingle HOF
+    # into a scan-side filter — with the tokenizer regex re-expanded per
+    # element_at (no CSE in lambdas), that filter burned 9 s of CPU per
+    # subtree at sf0.1 and its per-branch variants defeated AQE stage reuse.
+    # shingled() guarantees sh is non-null and non-empty, so _outer is
+    # row-identical and generates no inferred predicates.
+    ex0 = sh.select("id", F.explode_outer("sh").alias("shingle")).repartition("shingle")
+    ex = ex0
     if max_shingle_freq is not None:
-        freq = ex.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
-        ex = ex.join(freq.select("shingle"), "shingle")
+        freq = ex0.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        ex = ex0.join(freq.select("shingle"), "shingle")
     a = ex.select(F.col("id").alias("id_a"), "shingle")
     b = ex.select(F.col("id").alias("id_b"), "shingle")
-    # candidates from the (capped) exploded frame; scores from the FULL
-    # shingle sets — the cap prunes candidate generation only, it must not
-    # bias the jaccard of surviving pairs downward (same discipline as the
-    # minhash verify: exact scores on candidate pairs)
-    cand = (
+    # count-filter-verify (the PPJoin-family shape): the self-join emits one
+    # row per SHARED capped shingle, so aggregate the pair count c =
+    # |A'∩B'| (map-side combinable — no distinct over the pair blow-up),
+    # bound the best achievable jaccard, and exact-verify only survivors.
+    # With d_x = |X| - |X'| shingles dropped from x by the cap,
+    # |A∩B| <= c + min(d_a, d_b), so
+    #   jaccard <= (c + min(d_a, d_b)) / (|A| + |B| - c - min(d_a, d_b)).
+    # Pairs failing that bound (with 1e-6 slack for the round(.,6) of the
+    # final score) cannot reach the threshold — at sf0.1 this prunes the
+    # 1.13M candidate pairs to the ~300 that get an array_intersect, and
+    # the filter is exact: scores still come from the FULL shingle sets
+    # (the cap prunes candidate generation only, it must not bias the
+    # jaccard of surviving pairs downward — same discipline as the minhash
+    # verify).  When no cap is set, c IS the exact intersection.
+    pc = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # per-doc set sizes, counted from the EXPLODED frames, not F.size(sh):
+    # a size(sh) projection looks cheap, but the downstream size joins make
+    # Catalyst infer isnotnull(__n_full) -> isnotnull(size(<full shingle
+    # HOF>)) which pushes to the scan and re-expands the tokenizer per
+    # element (9.5 s single-task filter at sf0.1).  groupBy is a pushdown
+    # BARRIER, and the counts reuse the existing shingle-keyed exchange.
+    sizes = ex0.groupBy("id").agg(F.count(F.lit(1)).alias("__n_full"))
+    if max_shingle_freq is not None:
+        capped = ex.groupBy("id").agg(F.count(F.lit(1)).alias("__n_capped"))
+        sizes = sizes.join(capped, "id", "left").select(
+            "id", "__n_full", F.coalesce("__n_capped", F.lit(0)).alias("__n_capped")
+        )
+    else:
+        sizes = sizes.withColumn("__n_capped", F.col("__n_full"))
+    sza = sizes.select(F.col("id").alias("id_a"), F.col("__n_full").alias("__nfa"),
+                       F.col("__n_capped").alias("__nca"))
+    szb = sizes.select(F.col("id").alias("id_b"), F.col("__n_full").alias("__nfb"),
+                       F.col("__n_capped").alias("__ncb"))
+    ub = F.col("__c") + F.least(
+        F.col("__nfa") - F.col("__nca"), F.col("__nfb") - F.col("__ncb")
+    )
+    cand = (
+        pc.join(sza, "id_a").join(szb, "id_b")
+        .where(ub / (F.col("__nfa") + F.col("__nfb") - ub) >= threshold - 1e-6)
         .select("id_a", "id_b")
-        .distinct()
     )
     # ONE id-keyed exchange feeds BOTH verify joins: shingling is a per-row
     # HOF subtree with no exchange of its own, so without this each join
@@ -262,7 +342,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ])
         banded = sig.select(
-            "id", F.posexplode(band_structs).alias("band", "bs")
+            # posexplode_OUTER everywhere a fixed-length array literal is exploded:
+            # plain (pos)explode infers size>0/isnotnull predicates that inline the
+            # whole signature/bucket HOF subtree into a pushed-down filter and
+            # defeat AQE stage reuse (see ngram_jaccard_pairs).  These arrays are
+            # fixed-length and non-null, so _outer is row-identical.
+            "id", F.posexplode_outer(band_structs).alias("band", "bs")
         ).select("id", "band", "bs.*")
         join_keys = ["band"] + [f"v{j}" for j in range(r)]
     else:
@@ -272,7 +357,7 @@ def minhash_lsh_pairs(
             ).alias(f"b{b}")
             for b in range(bands)
         ]
-        banded = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+        banded = sig.select("id", F.posexplode_outer(F.array(*band_cols)).alias("band", "bh"))
         join_keys = ["band", "bh"]
     # ONE exchange, aligned with the band join keys: signatures are per-row
     # expressions (no shuffle of their own), so without this both self-join
@@ -322,9 +407,18 @@ def simhash(
     slower, but reproducible in ANSI SQL, so the operator is
     oracle-checkable; see ``mix_consts``).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias("tok"),
+    # explicit cheap token-count guard + explode_OUTER: plain explode would
+    # infer the same size>0 predicate anyway (pushed below the fanout
+    # exchange), but spelling it ourselves keeps the plan canonical across
+    # branches so AQE can reuse the scan stage (see ngram_jaccard_pairs)
+    toks_expr = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    toks = (
+        fanout(df.select(id_col, text_col))
+        .where(F.size(toks_expr) >= 1)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(toks_expr).alias("tok"),
+        )
     )
     if hash_fn == "xxhash64":
         toks = toks.withColumn("th", F.xxhash64("tok", F.lit(seed)))
@@ -474,7 +568,7 @@ def _simhash_candidates(
     else:
         keys = F.array(*[band_key(cb) for cb in combos])
     banded = sig.select(
-        "id", "simhash", F.posexplode(keys).alias("band", "bk")
+        "id", "simhash", F.posexplode_outer(keys).alias("band", "bk")
     )
     # ONE exchange aligned with the join keys: both self-join sides AND the
     # frequency cap hang off a single ReusedExchange (minhash/jaccard
@@ -538,7 +632,7 @@ def embedding_neardup_pairs(
     replicated = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("__blk", blk)
-        .withColumn("__tile", F.explode(F.array_distinct(tiles)))
+        .withColumn("__tile", F.explode_outer(F.array_distinct(tiles)))
         .select(
             F.col("__tile.ti").alias("ti"), F.col("__tile.tj").alias("tj"),
             "__blk", "id", "vec",
@@ -620,8 +714,8 @@ def embedding_neardup_lsh(
         for t in range(n_tables)
     ])
     b = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .select("id", "vec", F.posexplode(buckets).alias("table", "bucket"))
+        fanout(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+        .select("id", "vec", F.posexplode_outer(buckets).alias("table", "bucket"))
         .repartition("table", "bucket")
     )
     left = b.select(

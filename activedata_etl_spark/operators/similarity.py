@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# gated round-robin rebalance for under-parallel scans (one local parquet
+# file = one map task would serialize the per-row HOF vector math); no-op
+# at real file counts.  dedup imports similarity lazily, so this top-level
+# import is cycle-free.
+from activedata_etl_spark.operators.dedup import fanout
+
 
 def probe_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality from the first NON-NULL vector; None when
@@ -70,9 +76,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = fanout(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
@@ -163,15 +169,15 @@ def lsh_ann_topk(
             ]
         )
 
-    cb = corpus.select(
+    cb = fanout(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        F.posexplode_outer(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        F.posexplode_outer(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     scored = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
@@ -329,7 +335,7 @@ def ivf_ann_topk(
             ])
             return F.transform(F.array_sort(dists), lambda s: s["cell"])
 
-        c = corpus.select(
+        c = fanout(corpus.select(id_col, vec_col)).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             F.element_at(cell_ranking(F.col(vec_col)), 1).alias("cell"),
@@ -337,7 +343,7 @@ def ivf_ann_topk(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(
+            F.explode_outer(
                 F.slice(cell_ranking(F.col(vec_col)), 1, n_probe)
             ).alias("cell"),
         )
@@ -375,7 +381,7 @@ def ivf_ann_topk(
             return schema, run
 
         c_schema, c_run = assign(1, "neighbor_id", "c_vec")
-        c = corpus.select(id_col, vec_col).mapInPandas(c_run, c_schema)
+        c = fanout(corpus.select(id_col, vec_col)).mapInPandas(c_run, c_schema)
         q_schema, q_run = assign(n_probe, "query_id", "q_vec")
         q = queries.select(id_col, vec_col).mapInPandas(q_run, q_schema)
     scored = (
