@@ -89,7 +89,7 @@ def main() -> None:
         tc = time.time()
         v = table.compact()
         compact_sec = time.time() - tc
-        compact_bytes = table.dir_bytes(f"data/v{v}")
+        compact_bytes = sum(table.dir_bytes(d) for d in table.dirs_of_version(v))
         tr = time.time()
         table.read().count()
         read_sec_compacted = round(time.time() - tr, 3)

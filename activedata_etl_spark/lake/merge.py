@@ -25,6 +25,7 @@ buckets -> atomic snapshot swap.  Merge metrics ride the write job via
 from __future__ import annotations
 
 import time
+import uuid as _uuid
 from itertools import chain
 
 from pyspark.sql import DataFrame, Observation
@@ -613,7 +614,9 @@ def _commit(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    lineage_rel = f"lineage/v{new_version}"
+    # nonce keeps racing writers' lineage dirs disjoint (referenced by
+    # path in the snapshot, never parsed by name)
+    lineage_rel = f"lineage/v{new_version}-{_uuid.uuid4().hex[:8]}"
     names = [
         "batch_id", "partition", "min_offset", "max_offset", "rows_read",
         "below_watermark", "invalid_events", "late_events", "rows_applied",
@@ -656,7 +659,7 @@ def _commit(
             pq.read_table(os.path.join(table.location, d))
             for d in old_dirs
         ])
-        crel = f"lineage/c{new_version}"
+        crel = f"lineage/c{new_version}-{_uuid.uuid4().hex[:8]}"
         cdir = os.path.join(table.location, crel)
         os.makedirs(cdir, exist_ok=True)
         pq.write_table(consolidated, os.path.join(cdir, "lineage.parquet"))

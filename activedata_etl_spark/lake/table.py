@@ -7,11 +7,16 @@ engine implements the same contract itself, Iceberg-style:
   ``metadata/v{N}.json`` listing the data files, the schema, the exactly-once
   state (last applied ``batch_id`` + per-journal-partition watermarks), and a
   pointer to its parent snapshot;
-- a commit writes the new snapshot file then **atomically swaps** the
-  ``metadata/_current`` pointer (``os.replace``) — readers always see a
-  complete snapshot, never a partial write (single-writer per table; a real
-  deployment swaps this pointer through a catalog CAS, exactly as Iceberg
-  does — the rest of the engine is unchanged);
+- a commit is an **optimistic-concurrency CAS**: the new ``v{N}.json`` is
+  linked into place with ``os.link`` (atomic create-if-absent on POSIX), so
+  exactly ONE of two racing writers owns version N — the loser gets
+  ``CommitConflictError`` and rebases onto the winner's snapshot (compaction
+  and the rewrite ops retry automatically; the ingest loop re-applies the
+  batch).  The ``metadata/_current`` pointer is a monotonic cache swapped
+  with ``os.replace``; the v-files are authoritative.  Readers always see a
+  complete snapshot, never a partial write.  A real deployment routes the
+  same CAS through a catalog (Iceberg's commit protocol) — the rest of the
+  engine is unchanged;
 - data is hash-bucketed by the key columns into ``n_buckets`` buckets
   (Iceberg ``bucket(N, key)`` partition transform).  A MERGE is
   **copy-on-write at bucket granularity**: only buckets containing changed
@@ -33,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -42,6 +48,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from activedata_etl_spark.lake.schema_evolution import align_to_schema
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the snapshot version this commit targeted.
+
+    The table is untouched by the losing commit (its data dirs are orphans
+    until ``expire_snapshots`` collects them).  Recovery is Iceberg's:
+    re-read the current snapshot, rebuild the change against it, commit
+    again — ``compact``/``update_where``/``delete_where``/``analyze`` do
+    this automatically; ``replay_journal`` re-applies the batch."""
+
 
 BUCKET_COL = "__bucket"
 DELETED_COL = "__deleted"  # tombstone marker: delete events upsert a
@@ -140,11 +157,29 @@ class SnapshotTable:
     # ------------------------------------------------------------- metadata
 
     def current_version(self) -> int | None:
+        """Newest committed version.  The ``_current`` pointer is a cache
+        that can lag one swap behind a racing writer; the ``v{N}.json``
+        files are authoritative (a version exists exactly when its file was
+        CAS-linked into place), so take the max of both."""
+        cur = None
         p = os.path.join(self.meta_dir, "_current")
-        if not os.path.exists(p):
+        if os.path.exists(p):
+            with open(p) as f:
+                cur = int(f.read().strip())
+        newest = self._newest_snapshot_file()
+        if newest is None:
+            return cur
+        return newest if cur is None else max(cur, newest)
+
+    def _newest_snapshot_file(self) -> int | None:
+        if not os.path.isdir(self.meta_dir):
             return None
-        with open(p) as f:
-            return int(f.read().strip())
+        vs = [
+            int(m.group(1))
+            for fn in os.listdir(self.meta_dir)
+            if (m := re.fullmatch(r"v(\d+)\.json", fn))
+        ]
+        return max(vs) if vs else None
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -163,17 +198,41 @@ class SnapshotTable:
         return int(self.snapshot()["batch_id"])
 
     def _commit_snapshot(self, snap: dict) -> None:
-        """Write v{N}.json then atomically swap the _current pointer."""
+        """Optimistic-concurrency commit: CAS v{N}.json into place, then
+        advance the _current pointer cache.
+
+        ``os.link(tmp, path)`` is an atomic create-if-absent on POSIX —
+        exactly one of two racing writers targeting version N succeeds; the
+        loser raises :class:`CommitConflictError` with the table unchanged.
+        The _current swap after the link is last-write-wins and may briefly
+        lag (loser of THAT race wrote a smaller version); readers are
+        unaffected because :meth:`current_version` takes the max of the
+        pointer and the authoritative v-files."""
         v = snap["version"]
         path = os.path.join(self.meta_dir, f"v{v}.json")
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(snap, f, indent=1, sort_keys=True)
-        os.replace(tmp, path)
-        cur_tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
-        with open(cur_tmp, "w") as f:
-            f.write(str(v))
-        os.replace(cur_tmp, os.path.join(self.meta_dir, "_current"))
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot v{v} at {self.location} was committed by a "
+                f"concurrent writer; rebase onto the current snapshot and "
+                f"retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        cur = None
+        p = os.path.join(self.meta_dir, "_current")
+        if os.path.exists(p):
+            with open(p) as f:
+                cur = int(f.read().strip())
+        if cur is None or cur < v:
+            cur_tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(str(v))
+            os.replace(cur_tmp, p)
 
     # ----------------------------------------------------------------- read
 
@@ -294,7 +353,16 @@ class SnapshotTable:
     # ------------------------------------------------------------ data write
 
     def write_buckets(self, df: DataFrame, version: int) -> str:
-        """Write ``df`` (must carry BUCKET_COL) under data/v{version}.
+        """Write ``df`` (must carry BUCKET_COL) under a unique
+        data/v{version}-{nonce} dir.
+
+        The nonce makes concurrent writers (and commit-conflict retries)
+        physically disjoint: two writers racing toward the same version can
+        never overwrite each other's files — the CAS in
+        ``_commit_snapshot`` decides whose METADATA wins, and the loser's
+        dir is an unreferenced orphan that ``expire_snapshots`` collects
+        after its grace period.  Nothing parses the dir name: snapshots
+        reference dirs through ``bucket_dirs``/``dir_versions``.
 
         NO repartition: the caller's plan is already hash-partitioned by the
         key columns (LWW window / merge join), and bucket = murmur3(keys) %
@@ -304,7 +372,7 @@ class SnapshotTable:
         task's rows by bucket so the dynamic-partition writer keeps a single
         open file at a time.
         """
-        rel = f"data/v{version}"
+        rel = f"data/v{version}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.location, rel)
         (
             df.sortWithinPartitions(BUCKET_COL)
@@ -358,6 +426,16 @@ class SnapshotTable:
             return None
         return sum(int(counts[b]) for b in live)
 
+    def dirs_of_version(self, version: int) -> list[str]:
+        """Live data dirs written by snapshot ``version`` (from the current
+        snapshot's ``dir_versions`` map — dir names carry a nonce and are
+        never parsed)."""
+        snap = self.snapshot()
+        return sorted(
+            d for d, v in snap.get("dir_versions", {}).items()
+            if int(v) == version
+        )
+
     def dir_bytes(self, rel: str) -> int:
         """Physical bytes under a data dir (write-amplification accounting)."""
         total = 0
@@ -372,6 +450,7 @@ class SnapshotTable:
         self,
         drop_tombstones: bool = False,
         buckets: list[int] | None = None,
+        max_retries: int = 5,
     ) -> int:
         """Rewrite buckets at the current schema in one new snapshot (analog
         of re-ETL block consolidation; removes read-time union/cast).
@@ -385,51 +464,87 @@ class SnapshotTable:
 
         ``drop_tombstones=True`` garbage-collects delete markers — safe once
         the out-of-order horizon has passed (no stale event older than the
-        tombstone can still arrive)."""
+        tombstone can still arrive).
+
+        Concurrency: the fold is computed against a pinned snapshot S, and
+        the commit rebases onto whatever snapshot is current at commit time
+        (Iceberg-style optimistic concurrency).  Per compacted bucket:
+        delta dirs appended AFTER S survive in the read-time merge chain
+        (LWW is order-independent, so folding S's files while keeping newer
+        deltas is exact); a bucket whose BASE changed since S (concurrent
+        CoW/upsert/rewrite) is skipped — its fresh pointers win and only
+        the compaction of that bucket is forgone.  Compaction therefore
+        never loses concurrent writes; worst case it is a partial no-op."""
         snap = self.snapshot()
-        new_version = snap["version"] + 1
-        df = self.read(buckets=buckets, include_tombstones=not drop_tombstones)
+        pinned = snap["version"]
+        df = self.read(buckets=buckets, include_tombstones=not drop_tombstones,
+                       version=pinned)
         if DELETED_COL not in df.columns:
             df = df.withColumn(DELETED_COL, F.lit(False))
         df = self.bucket_of(df)
-        rel = self.write_buckets(df, new_version)
+        rel = self.write_buckets(df, pinned + 1)
         written = self.written_bucket_rows(rel)
-        new = dict(snap)
-        new["version"] = new_version
-        new["parent"] = snap["version"]
-        new["ts_ms"] = int(time.time() * 1000)
+        # buckets this fold covers: the requested subset, else every bucket
+        # S referenced (base or delta) — a bucket in scope but absent from
+        # `written` compacted away to zero rows
         if buckets is None:
-            new["bucket_dirs"] = {b: rel for b in written}
-            new["dir_versions"] = {rel: new_version}
-            new["delta_dirs"] = {}
-            new["bucket_rows"] = written
+            scope = set(snap["bucket_dirs"]) | set(snap.get("delta_dirs", {}))
         else:
             scope = {str(b) for b in buckets}
-            bucket_dirs = {b: d for b, d in snap["bucket_dirs"].items()
-                           if b not in scope}
-            bucket_rows = {b: n for b, n in snap.get("bucket_rows", {}).items()
-                           if b not in scope}
-            for b, n in written.items():
-                bucket_dirs[b] = rel
-                bucket_rows[b] = n
+        s_base = snap["bucket_dirs"]
+        s_deltas = snap.get("delta_dirs", {})
+        for _ in range(max_retries):
+            fresh = self.snapshot()
+            new = dict(fresh)
+            new["version"] = fresh["version"] + 1
+            new["parent"] = fresh["version"]
+            new["ts_ms"] = int(time.time() * 1000)
+            bucket_dirs = dict(fresh["bucket_dirs"])
+            bucket_rows = dict(fresh.get("bucket_rows", {}))
+            delta_dirs = {b: list(r) for b, r in
+                          fresh.get("delta_dirs", {}).items()}
+            repointed = 0
+            for b in scope:
+                if fresh["bucket_dirs"].get(b) != s_base.get(b):
+                    continue  # base rewritten since S: their fold wins
+                repointed += 1
+                folded = set(s_deltas.get(b, []))
+                newer = [d for d in delta_dirs.get(b, []) if d not in folded]
+                if b in written:
+                    bucket_dirs[b] = rel
+                    bucket_rows[b] = written[b]
+                else:
+                    bucket_dirs.pop(b, None)
+                    bucket_rows.pop(b, None)
+                if newer:
+                    delta_dirs[b] = newer
+                else:
+                    delta_dirs.pop(b, None)
+            if repointed == 0 and fresh["version"] != pinned:
+                # every bucket was superseded concurrently: clean no-op
+                return fresh["version"]
             new["bucket_dirs"] = bucket_dirs
             new["bucket_rows"] = bucket_rows
-            new["delta_dirs"] = {
-                b: rels for b, rels in snap.get("delta_dirs", {}).items()
-                if b not in scope
-            }
+            new["delta_dirs"] = delta_dirs
             # prune dir_versions to dirs this snapshot still references —
             # snapshot JSON stays O(buckets), not O(commits ever made)
             live = set(bucket_dirs.values()) | {
-                r for rels in new["delta_dirs"].values() for r in rels
-            } | {rel}
+                r for rels in delta_dirs.values() for r in rels
+            }
             new["dir_versions"] = {
                 d: v for d, v in
-                dict(snap["dir_versions"], **{rel: new_version}).items()
+                dict(fresh["dir_versions"], **{rel: new["version"]}).items()
                 if d in live
             }
-        self._commit_snapshot(new)
-        return new_version
+            try:
+                self._commit_snapshot(new)
+                return new["version"]
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"compact at {self.location} lost {max_retries} consecutive "
+            f"commit races; retry when the writer burst subsides"
+        )
 
     def delta_stats(self) -> dict:
         """Per-bucket delta file/dir pressure from snapshot metadata only —
@@ -461,27 +576,46 @@ class SnapshotTable:
             return None
         return self.compact(drop_tombstones=drop_tombstones, buckets=hot)
 
-    def update_where(self, condition, set_exprs: dict) -> int:
+    def update_where(self, condition, set_exprs: dict, max_retries: int = 5) -> int:
         """UPDATE ... SET ... WHERE — the reference's in-place update
         (`ListContainer.update({"set","clear","where"})`,
         `vendor/jx_python/containers/list_usingPythonList.py:122-139`).
-        Copy-on-write: rewrites the table at a new snapshot version."""
-        snap = self.snapshot()
-        df = self.read(include_tombstones=True)
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        for name, expr in set_exprs.items():
-            value = F.expr(expr) if isinstance(expr, str) else expr
-            df = df.withColumn(name, F.when(cond, value).otherwise(F.col(name)))
-        return self._rewrite(snap, df)
+        Copy-on-write: rewrites the table at a new snapshot version.  On a
+        commit conflict the whole op re-runs against the winner's snapshot
+        (a full rewrite has no narrower rebase)."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            df = self.read(include_tombstones=True, version=snap["version"])
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            for name, expr in set_exprs.items():
+                value = F.expr(expr) if isinstance(expr, str) else expr
+                df = df.withColumn(name, F.when(cond, value).otherwise(F.col(name)))
+            try:
+                return self._rewrite(snap, df)
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"update_where at {self.location} lost {max_retries} commit races"
+        )
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition, max_retries: int = 5) -> int:
         """DELETE FROM ... WHERE (`Index.delete_record`,
         `vendor/pyLibrary/env/elasticsearch.py:241`).  Rows are physically
-        removed (maintenance op, not a CDC tombstone)."""
-        snap = self.snapshot()
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        df = self.read(include_tombstones=True).where(~F.coalesce(cond, F.lit(False)))
-        return self._rewrite(snap, df)
+        removed (maintenance op, not a CDC tombstone).  Re-runs on commit
+        conflict, like ``update_where``."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            df = self.read(
+                include_tombstones=True, version=snap["version"]
+            ).where(~F.coalesce(cond, F.lit(False)))
+            try:
+                return self._rewrite(snap, df)
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"delete_where at {self.location} lost {max_retries} commit races"
+        )
 
     def _rewrite(self, snap: dict, df: DataFrame) -> int:
         new_version = snap["version"] + 1
@@ -503,41 +637,63 @@ class SnapshotTable:
         self._commit_snapshot(new)
         return new_version
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> list[str]:
         """Drop snapshot files and data dirs unreachable from the newest
-        ``keep_last`` snapshots (Iceberg ``expireSnapshots`` analog)."""
+        ``keep_last`` snapshots (Iceberg ``expireSnapshots`` analog).
+
+        Dirs referenced by SOME snapshot file are removed as soon as that
+        snapshot expires.  A dir referenced by NO snapshot at all is either
+        a commit-conflict loser or an in-flight writer's work-in-progress —
+        indistinguishable from the filesystem alone — so true orphans are
+        only collected once older than ``orphan_grace_s`` (Iceberg's
+        orphan-file grace period; any real commit follows its data write
+        within seconds)."""
         cur = self.current_version()
         if cur is None:
             return []
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
         live_dirs: set[str] = set()
-        for v in keep_versions:
-            p = os.path.join(self.meta_dir, f"v{v}.json")
-            if not os.path.exists(p):
+        referenced: set[str] = set()  # by ANY snapshot file, kept or not
+        for fn in os.listdir(self.meta_dir):
+            m = re.fullmatch(r"v(\d+)\.json", fn)
+            if not m:
                 continue
-            with open(p) as f:
+            with open(os.path.join(self.meta_dir, fn)) as f:
                 s = json.load(f)
-            live_dirs.update(s["bucket_dirs"].values())
+            refs = set(s["bucket_dirs"].values())
             for rels in s.get("delta_dirs", {}).values():
-                live_dirs.update(rels)
-            live_dirs.update(s.get("lineage_dirs", []))
+                refs.update(rels)
+            refs.update(s.get("lineage_dirs", []))
+            referenced.update(refs)
+            if int(m.group(1)) in keep_versions:
+                live_dirs.update(refs)
         removed = []
-        data_root = os.path.join(self.location, "data")
-        if os.path.isdir(data_root):
-            for d in os.listdir(data_root):
-                rel = f"data/{d}"
-                if rel not in live_dirs:
-                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                    removed.append(rel)
+        now = time.time()
+
+        def _sweep(root_name: str) -> None:
+            root = os.path.join(self.location, root_name)
+            if not os.path.isdir(root):
+                return
+            for d in os.listdir(root):
+                rel = f"{root_name}/{d}"
+                if rel in live_dirs:
+                    continue
+                if rel not in referenced:  # never committed: grace-gated
+                    try:
+                        age = now - os.path.getmtime(os.path.join(root, d))
+                    except OSError:
+                        continue
+                    if age < orphan_grace_s:
+                        continue
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                removed.append(rel)
+
+        _sweep("data")
         # lineage dirs orphaned by consolidation (merge.py folds old
         # per-commit dirs into one) or by snapshot expiry
-        lin_root = os.path.join(self.location, "lineage")
-        if os.path.isdir(lin_root):
-            for d in os.listdir(lin_root):
-                rel = f"lineage/{d}"
-                if rel not in live_dirs:
-                    shutil.rmtree(os.path.join(lin_root, d), ignore_errors=True)
-                    removed.append(rel)
+        _sweep("lineage")
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
                 v = int(fn[1:-5])
@@ -598,14 +754,25 @@ class SnapshotTable:
                 for c in names
             },
         }
-        new = dict(snap)
-        new["version"] = snap["version"] + 1
-        new["parent"] = snap["version"]
-        new["ts_ms"] = stats["ts_ms"]
-        new.setdefault("properties", {})
-        new["properties"] = dict(new["properties"], column_stats=stats)
-        self._commit_snapshot(new)
-        return stats
+        # metadata-only commit: trivially rebased onto whatever snapshot is
+        # current if a writer races us (stats stay stamped with the version
+        # they were measured against)
+        for _ in range(5):
+            base = self.snapshot()
+            new = dict(base)
+            new["version"] = base["version"] + 1
+            new["parent"] = base["version"]
+            new["ts_ms"] = stats["ts_ms"]
+            new.setdefault("properties", {})
+            new["properties"] = dict(new["properties"], column_stats=stats)
+            try:
+                self._commit_snapshot(new)
+                return stats
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"analyze at {self.location} lost 5 commit races"
+        )
 
     # ---------------------------------------------------------------- misc
 

@@ -29,7 +29,7 @@ from activedata_etl_spark.functions.normalize import (
     normalize_keys,
 )
 from activedata_etl_spark.lake.merge import ENVELOPE_DROP, apply_batch
-from activedata_etl_spark.lake.table import SnapshotTable
+from activedata_etl_spark.lake.table import CommitConflictError, SnapshotTable
 
 
 def _stored_schema(journal_schema: T.StructType) -> T.StructType:
@@ -190,18 +190,31 @@ def replay_journal(
         # (full mode computes watermarks from the rows actually applied)
         claim_hi = hi if offset_range is None else min(hi, offset_range[1])
         full_cover = offset_range is None or lo >= offset_range[0]
-        # key normalization pre-reduce; lang/sha256 only on LWW winners
-        s = apply_batch(
-            table, normalize_keys(chunk), i, salted=salted,
-            late_threshold_sec=late_threshold_sec,
-            finalize_fn=finalize_records, persist=persist,
-            lineage_level=lineage_level, lww_strategy=lww_strategy,
-            merge_mode=merge_mode,
-            precomputed_watermarks=(
-                {p: claim_hi for p in partitions}
-                if lineage_level == "summary" and full_cover else None
-            ),
-        )
+        # key normalization pre-reduce; lang/sha256 only on LWW winners.
+        # A CommitConflictError means a concurrent MAINTENANCE commit
+        # (compactor/analyze) won the version CAS: nothing was applied, so
+        # re-running the batch rebases it onto the winner's snapshot
+        # (apply_batch re-reads the snapshot; its batch fence also makes a
+        # race against a SECOND ingest writer of the same journal a clean
+        # skip).  Data/lineage dirs from lost attempts are orphans swept by
+        # expire_snapshots after the grace period.
+        for attempt in range(3):
+            try:
+                s = apply_batch(
+                    table, normalize_keys(chunk), i, salted=salted,
+                    late_threshold_sec=late_threshold_sec,
+                    finalize_fn=finalize_records, persist=persist,
+                    lineage_level=lineage_level, lww_strategy=lww_strategy,
+                    merge_mode=merge_mode,
+                    precomputed_watermarks=(
+                        {p: claim_hi for p in partitions}
+                        if lineage_level == "summary" and full_cover else None
+                    ),
+                )
+                break
+            except CommitConflictError:
+                if attempt == 2:
+                    raise
         summaries.append(s)
         if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
             table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)

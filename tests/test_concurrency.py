@@ -1,0 +1,270 @@
+"""Optimistic-concurrency commits: CAS, rebase, orphan hygiene.
+
+The reference assumes single-writer indexes guarded by ES versioning
+(`vendor/pyLibrary/env/elasticsearch.py:328-331` external_gte); a lake table
+needs the Iceberg-style equivalent — version-file CAS with rebase-and-retry —
+so an ingest loop and a background compactor can run concurrently without
+lost updates.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.lake.merge import apply_batch
+from activedata_etl_spark.lake.table import CommitConflictError, SnapshotTable
+from activedata_etl_spark.streaming.replay import ensure_table
+
+COLS_V1 = (
+    "partition int, offset long, commit_seq long, op string, repo string, "
+    "path string, commit string, lang string, content string, ts timestamp"
+)
+
+
+def _norm(df):
+    from activedata_etl_spark.functions.normalize import normalize_batch
+
+    return normalize_batch(df)
+
+
+def _mk(spark, loc, rows=None, n_buckets=4):
+    rows = rows if rows is not None else [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"V{i}", None)
+        for i in range(8)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    t = ensure_table(spark, loc, b0.schema, n_buckets=n_buckets)
+    apply_batch(t, _norm(b0), 0)
+    return t
+
+
+def test_cas_second_writer_conflicts(spark, tmp_path):
+    """Two commits targeting the same version: exactly one wins; the loser
+    raises and the table state is the winner's."""
+    t = _mk(spark, str(tmp_path / "lake"))
+    snap = t.snapshot()
+    a = dict(snap, version=snap["version"] + 1, parent=snap["version"])
+    a["properties"] = dict(snap.get("properties", {}), writer="A")
+    b = dict(snap, version=snap["version"] + 1, parent=snap["version"])
+    b["properties"] = dict(snap.get("properties", {}), writer="B")
+    t._commit_snapshot(a)
+    with pytest.raises(CommitConflictError):
+        t._commit_snapshot(b)
+    assert t.snapshot()["properties"]["writer"] == "A"
+    # no tmp leftovers from the losing CAS
+    assert not [f for f in os.listdir(t.meta_dir) if ".tmp." in f]
+
+
+def test_current_version_survives_stale_pointer(spark, tmp_path):
+    """The _current pointer is a cache: a lagging value must not hide a
+    CAS-committed newer snapshot."""
+    t = _mk(spark, str(tmp_path / "lake"))
+    v = t.current_version()
+    with open(os.path.join(t.meta_dir, "_current"), "w") as f:
+        f.write("0")  # simulate losing the pointer-swap race
+    assert t.current_version() == v
+    assert t.snapshot()["version"] == v
+
+
+def test_compact_rebases_over_concurrent_delta(spark, tmp_path):
+    """A delta appended between compaction's read and its commit must
+    survive: the compactor folds its pinned snapshot and keeps the newer
+    delta in the chain (LWW merge is order-independent)."""
+    loc = str(tmp_path / "lake")
+    t = _mk(spark, loc)
+    # delta mode: tiny batch against the existing base
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f1.py", "d" * 12, None, "NEW1", None)],
+        COLS_V1,
+    )
+    s = apply_batch(t, _norm(b1), 1, merge_mode="delta")
+    assert s["merge_mode"] == "delta"
+
+    orig = SnapshotTable._commit_snapshot
+    fired = {"n": 0}
+
+    def racing_commit(self, snap):
+        # before compaction's FIRST commit attempt, land a concurrent
+        # delta batch through a second handle (same table directory)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            other = SnapshotTable(spark, loc)
+            b2 = spark.createDataFrame(
+                [(0, 200, 200, "update", "r", "f2.py", "e" * 12, None,
+                  "NEW2", None)],
+                COLS_V1,
+            )
+            apply_batch(other, _norm(b2), 2, merge_mode="delta")
+        return orig(self, snap)
+
+    try:
+        SnapshotTable._commit_snapshot = racing_commit
+        v = t.compact()
+    finally:
+        SnapshotTable._commit_snapshot = orig
+    assert fired["n"] == 1
+    snap = t.snapshot()
+    assert snap["version"] == v
+    # the concurrent batch's delta survived the compaction commit
+    assert any(snap.get("delta_dirs", {}).values())
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got["f1.py"] == "NEW1"   # folded by the compactor
+    assert got["f2.py"] == "NEW2"   # concurrent write not lost
+    assert got["f0.py"] == "V0"
+
+
+def test_compact_skips_bucket_rebased_by_cow(spark, tmp_path):
+    """If a concurrent writer REWROTE a bucket's base (CoW) between the
+    compactor's read and commit, the compactor must not clobber it — that
+    bucket keeps the winner's pointers."""
+    loc = str(tmp_path / "lake")
+    t = _mk(spark, loc)
+    orig = SnapshotTable._commit_snapshot
+    fired = {"n": 0}
+
+    def racing_commit(self, snap):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            other = SnapshotTable(spark, loc)
+            b2 = spark.createDataFrame(
+                [(0, 300, 300, "update", "r", "f3.py", "f" * 12, None,
+                  "COW3", None)],
+                COLS_V1,
+            )
+            apply_batch(other, _norm(b2), 3, merge_mode="cow")
+        return orig(self, snap)
+
+    try:
+        SnapshotTable._commit_snapshot = racing_commit
+        t.compact()
+    finally:
+        SnapshotTable._commit_snapshot = orig
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got["f3.py"] == "COW3"  # the CoW rewrite won its bucket
+    assert len(got) == 8
+
+
+def test_threaded_metadata_commits_all_land(spark, tmp_path):
+    """N racing metadata committers (analyze-style) all eventually land
+    through retry; versions are distinct and data is intact."""
+    t = _mk(spark, str(tmp_path / "lake"))
+    start = t.current_version()
+    barrier = threading.Barrier(4)
+    errs: list[Exception] = []
+
+    def worker(tag):
+        try:
+            barrier.wait(timeout=30)
+            for _ in range(50):
+                snap = t.snapshot()
+                new = dict(snap, version=snap["version"] + 1,
+                           parent=snap["version"])
+                new["properties"] = dict(
+                    snap.get("properties", {}), **{f"w{tag}": True}
+                )
+                try:
+                    t._commit_snapshot(new)
+                    return
+                except CommitConflictError:
+                    time.sleep(0.01)
+            raise RuntimeError("never landed")
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(60)
+    assert not errs
+    assert t.current_version() == start + 4
+    props = t.snapshot()["properties"]
+    assert all(props.get(f"w{i}") for i in range(4))
+    assert t.read().count() == 8
+
+
+def test_update_where_retries_through_conflict(spark, tmp_path):
+    loc = str(tmp_path / "lake")
+    t = _mk(spark, loc)
+    orig = SnapshotTable._commit_snapshot
+    fired = {"n": 0}
+
+    def racing_commit(self, snap):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            other = SnapshotTable(spark, loc)
+            sn = other.snapshot()
+            bump = dict(sn, version=sn["version"] + 1, parent=sn["version"])
+            orig(other, bump)  # steal the version target
+        return orig(self, snap)
+
+    try:
+        SnapshotTable._commit_snapshot = racing_commit
+        n = t.update_where("path = 'f0.py'", {"content": "'PATCHED'"})
+    finally:
+        SnapshotTable._commit_snapshot = orig
+    assert fired["n"] == 1 and n > 0
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got["f0.py"] == "PATCHED" and got["f1.py"] == "V1"
+
+
+def test_expire_grace_protects_inflight_dirs(spark, tmp_path):
+    """A data dir no snapshot references is either a conflict loser or an
+    in-flight write: expire_snapshots must leave it alone until it ages
+    past the grace period."""
+    t = _mk(spark, str(tmp_path / "lake"))
+    fresh = os.path.join(t.location, "data", "vX-inflight")
+    os.makedirs(fresh)
+    removed = t.expire_snapshots(keep_last=1, orphan_grace_s=3600)
+    assert "data/vX-inflight" not in removed
+    assert os.path.isdir(fresh)
+    old = time.time() - 7200
+    os.utime(fresh, (old, old))
+    removed = t.expire_snapshots(keep_last=1, orphan_grace_s=3600)
+    assert "data/vX-inflight" in removed
+    assert not os.path.isdir(fresh)
+
+
+def test_replay_batch_retries_on_maintenance_conflict(spark, tmp_path):
+    """replay_journal re-applies a batch whose commit lost the CAS to a
+    concurrent maintenance commit — no lost events, fence intact."""
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.streaming.replay import replay_journal
+
+    jd = str(tmp_path / "journal")
+    loc = str(tmp_path / "lake")
+    write_journal(spark, 1024, jd)
+    r1 = replay_journal(spark, jd, loc, chunk_events=512, max_batches=1)
+    assert r1["batches"] == 1
+    t = SnapshotTable(spark, loc)
+
+    orig = SnapshotTable._commit_snapshot
+    fired = {"n": 0}
+
+    def racing_commit(self, snap):
+        # first ingest commit attempt of the SECOND replay call loses to a
+        # maintenance (analyze-style) commit
+        if fired["n"] == 0 and snap.get("batch_id", -1) >= 1:
+            fired["n"] = 1
+            other = SnapshotTable(spark, loc)
+            sn = other.snapshot()
+            orig(other, dict(sn, version=sn["version"] + 1,
+                             parent=sn["version"]))
+        return orig(self, snap)
+
+    try:
+        SnapshotTable._commit_snapshot = racing_commit
+        r2 = replay_journal(spark, jd, loc, chunk_events=512)
+    finally:
+        SnapshotTable._commit_snapshot = orig
+    assert fired["n"] == 1
+    assert r2["batches"] == r1["batches"] == 1 or r2["batches"] >= 1
+    # converged: full re-replay applies nothing further
+    r3 = replay_journal(spark, jd, loc, chunk_events=512)
+    assert r3["batches"] == 0
+    assert t.read().where(F.col("content").isNotNull()).count() > 0

@@ -278,7 +278,8 @@ def test_delta_mode_bounds_write_amplification(spark, tmp_path):
     loc_c = str(tmp_path / "lake_cow")
     t_delta = _mk_base(spark, loc_d)
     t_cow = _mk_base(spark, loc_c)
-    base_bytes = t_delta.dir_bytes("data/v1")  # batch 0 wrote snapshot v1
+    # batch 0 wrote snapshot v1 (dir names carry a nonce; resolve via metadata)
+    base_bytes = sum(t_delta.dir_bytes(d) for d in t_delta.dirs_of_version(1))
 
     b1 = spark.createDataFrame(
         [(0, 100, 100, "update", "r", "f7.py", "d" * 12, None, "NEW", None)],
