@@ -330,6 +330,57 @@ class SnapshotTable:
             ).drop(DELETED_COL)
         return out
 
+    def lookup(
+        self,
+        keys: dict,
+        *,
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Point lookup with bucket pruning — the O(table/n_buckets) access
+        path for "give me this key's current row".
+
+        Hash bucketing defeats file-level min/max skipping on the key
+        columns, but it gives something better: the key's murmur3 names the
+        ONE bucket that can hold it, so a point query scans a single
+        bucket's files (base + its delta chain) instead of the table.  At
+        10^10 rows / 8k buckets that is ~250 MB instead of ~2 TB.  ``keys``
+        must bind EVERY key column — the hash needs all of them.  Result ==
+        ``read().where(<key equality>)``, including read-time LWW delta
+        merge and tombstone filtering.
+
+        The bucket id is computed with the engine's own hash expression (a
+        1-row local job) so it can never drift from the write path's
+        murmur3, including type coercions.
+        """
+        snap = self.snapshot(version)
+        key_cols = snap["key_cols"]
+        missing = [c for c in key_cols if c not in keys]
+        if missing:
+            raise ValueError(
+                f"lookup needs every key column of {key_cols}; missing "
+                f"{missing} (hash pruning cannot bind a partial key)"
+            )
+        schema = T.StructType.fromJson(snap["schema"])
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        lits = [F.lit(keys[c]).cast(dtypes[c]) for c in key_cols]
+        b = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.hash(*lits), F.lit(snap["n_buckets"]))
+                .cast("int").alias("b")
+            )
+            .first()["b"]
+        )
+        df = self.read(
+            buckets=[b], include_tombstones=include_tombstones,
+            version=version,
+        )
+        cond = F.lit(True)
+        for c in key_cols:
+            cond = cond & (F.col(c) == F.lit(keys[c]).cast(dtypes[c]))
+        return df.where(cond)
+
     def existing_bucket_paths(self, buckets: list[int]) -> list[str]:
         """Physical data paths among ``buckets`` (a delete can empty a bucket,
         leaving a dangling metadata pointer — those are skipped)."""
@@ -352,9 +403,17 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ data write
 
-    def write_buckets(self, df: DataFrame, version: int) -> str:
+    def write_buckets(
+        self, df: DataFrame, version: int, sort_by: list[str] | None = None
+    ) -> str:
         """Write ``df`` (must carry BUCKET_COL) under a unique
         data/v{version}-{nonce} dir.
+
+        ``sort_by`` additionally orders rows by those columns WITHIN each
+        bucket (after the bucket grouping): parquet row-group min/max stats
+        then become selective for filters on them, so readers skip row
+        groups inside a bucket — the complement to bucket pruning, which
+        hash distribution denies to the key columns themselves.
 
         The nonce makes concurrent writers (and commit-conflict retries)
         physically disjoint: two writers racing toward the same version can
@@ -374,8 +433,9 @@ class SnapshotTable:
         """
         rel = f"data/v{version}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.location, rel)
+        sort_cols = [BUCKET_COL] + [F.col(c) for c in (sort_by or [])]
         (
-            df.sortWithinPartitions(BUCKET_COL)
+            df.sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out)
@@ -451,6 +511,7 @@ class SnapshotTable:
         drop_tombstones: bool = False,
         buckets: list[int] | None = None,
         max_retries: int = 5,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Rewrite buckets at the current schema in one new snapshot (analog
         of re-ETL block consolidation; removes read-time union/cast).
@@ -474,7 +535,11 @@ class SnapshotTable:
         deltas is exact); a bucket whose BASE changed since S (concurrent
         CoW/upsert/rewrite) is skipped — its fresh pointers win and only
         the compaction of that bucket is forgone.  Compaction therefore
-        never loses concurrent writes; worst case it is a partial no-op."""
+        never loses concurrent writes; worst case it is a partial no-op.
+
+        ``sort_by`` orders rows within each rewritten bucket (see
+        ``write_buckets``) — row-group skipping for non-key filter columns;
+        the applied order is recorded in snapshot properties."""
         snap = self.snapshot()
         pinned = snap["version"]
         df = self.read(buckets=buckets, include_tombstones=not drop_tombstones,
@@ -482,7 +547,7 @@ class SnapshotTable:
         if DELETED_COL not in df.columns:
             df = df.withColumn(DELETED_COL, F.lit(False))
         df = self.bucket_of(df)
-        rel = self.write_buckets(df, pinned + 1)
+        rel = self.write_buckets(df, pinned + 1, sort_by=sort_by)
         written = self.written_bucket_rows(rel)
         # buckets this fold covers: the requested subset, else every bucket
         # S referenced (base or delta) — a bucket in scope but absent from
@@ -526,6 +591,11 @@ class SnapshotTable:
             new["bucket_dirs"] = bucket_dirs
             new["bucket_rows"] = bucket_rows
             new["delta_dirs"] = delta_dirs
+            if sort_by:
+                new.setdefault("properties", {})
+                new["properties"] = dict(
+                    new["properties"], sort_order=list(sort_by)
+                )
             # prune dir_versions to dirs this snapshot still references —
             # snapshot JSON stays O(buckets), not O(commits ever made)
             live = set(bucket_dirs.values()) | {

@@ -78,6 +78,14 @@ def _parser() -> argparse.ArgumentParser:
             c.add_argument("--if-deltas-over", type=int, default=None,
                            help="only compact buckets whose delta chain "
                                 "exceeds N files (maybe_compact)")
+            c.add_argument("--sort-by", default=None,
+                           help="comma-separated columns to order within "
+                                "each bucket (row-group skipping)")
+
+    g = sub.add_parser("get", help="bucket-pruned point lookup by key")
+    g.add_argument("--table", required=True)
+    g.add_argument("--key", action="append", required=True,
+                   help="col=value, once per key column")
     return p
 
 
@@ -128,9 +136,17 @@ def main(argv: list[str] | None = None) -> None:
         else:
             buckets = ([int(b) for b in args.buckets.split(",")]
                        if args.buckets else None)
+            sort_by = args.sort_by.split(",") if args.sort_by else None
             v = t.compact(drop_tombstones=args.drop_tombstones,
-                          buckets=buckets)
+                          buckets=buckets, sort_by=sort_by)
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "get":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        keys = dict(kv.split("=", 1) for kv in args.key)
+        rows = [r.asDict() for r in
+                SnapshotTable(spark, args.table).lookup(keys).collect()]
+        print(json.dumps(rows, default=str))
     elif args.cmd == "analyze":
         from activedata_etl_spark.lake.table import SnapshotTable
 

@@ -268,3 +268,56 @@ def test_replay_batch_retries_on_maintenance_conflict(spark, tmp_path):
     r3 = replay_journal(spark, jd, loc, chunk_events=512)
     assert r3["batches"] == 0
     assert t.read().where(F.col("content").isNotNull()).count() > 0
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """Point lookup reads only the key's bucket and equals the full-scan
+    filter — including through a live delta chain."""
+    loc = str(tmp_path / "lake")
+    t = _mk(spark, loc, n_buckets=8)
+    upd = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f5.py", "d" * 12, None, "NEWER", None)],
+        COLS_V1,
+    )
+    apply_batch(t, _norm(upd), 1, merge_mode="delta")
+    got = t.lookup({"repo": "r", "path": "f5.py"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "NEWER"
+    # pruning: the lookup plan reads files from at most one bucket id
+    df = t.lookup({"repo": "r", "path": "f0.py"})
+    files = {
+        f for f in df.inputFiles()
+    }
+    bucket_ids = {f.split("__bucket=")[1].split("/")[0] for f in files}
+    assert len(bucket_ids) == 1
+    full = t.read().where((F.col("repo") == "r") & (F.col("path") == "f0.py"))
+    assert [r.asDict() for r in df.collect()] == [
+        r.asDict() for r in full.collect()
+    ]
+    with pytest.raises(ValueError):
+        t.lookup({"repo": "r"})  # partial key cannot hash-prune
+
+
+def test_compact_sort_by_orders_within_buckets(spark, tmp_path):
+    """compact(sort_by) writes rows ordered within each bucket file and
+    records the order in snapshot properties."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "lake")
+    t = _mk(spark, loc, n_buckets=2)
+    v = t.compact(sort_by=["path"])
+    snap = t.snapshot()
+    assert snap["version"] == v
+    assert snap["properties"]["sort_order"] == ["path"]
+    for rel in t.dirs_of_version(v):
+        root = os.path.join(t.location, rel)
+        for bdir in os.listdir(root):
+            if not bdir.startswith("__bucket="):
+                continue
+            bpath = os.path.join(root, bdir)
+            for fn in os.listdir(bpath):
+                if not fn.endswith(".parquet"):
+                    continue
+                paths = pq.read_table(
+                    os.path.join(bpath, fn), columns=["path"]
+                )["path"].to_pylist()
+                assert paths == sorted(paths)
