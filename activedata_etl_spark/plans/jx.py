@@ -918,11 +918,36 @@ def _agg_col(sel: dict, env: dict | None = None) -> Column:
     return _AGGS[agg](v).alias(name)
 
 
+def _resolve_from(src, frames: dict[str, DataFrame]) -> DataFrame:
+    """``from`` resolution: a registered frame name, a nested sub-query, or
+    ``lake:<path>`` — a SnapshotTable location read at its current snapshot
+    (time travel via ``lake:<path>@<version>``), connecting the query layer
+    to the CDC lake the replay pipeline maintains."""
+    if not isinstance(src, str):
+        return run(src, frames)
+    if src in frames:
+        return frames[src]
+    if src.startswith("lake:"):
+        from pyspark.sql import SparkSession
+
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("no active SparkSession for a lake: source")
+        loc, _, ver = src[5:].partition("@")
+        return SnapshotTable(spark, loc).read(
+            version=int(ver) if ver else None
+        )
+    raise KeyError(
+        f"unknown from: {src!r} — not a registered frame "
+        f"({sorted(frames)}); use 'lake:<path>[@version]' for a lake table"
+    )
+
+
 def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
     """Execute a jx-lite query over named DataFrames (jx.run analog)."""
-    df = frames[query["from"]] if isinstance(query["from"], str) else run(
-        query["from"], frames
-    )
+    df = _resolve_from(query["from"], frames)
 
     # nested-array dives: auto-explode along referenced paths
     refs: set[str] = set()
@@ -988,6 +1013,15 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
             else:
                 c = _AGGS[agg](val).over(w)
             df = df.withColumn(win["name"], c)
+
+    # a select carrying an aggregate with NO edges/groupby is a whole-table
+    # scalar aggregate (jx: aggregates default over the full set) — route it
+    # through the agg branch with an empty key list (global groupBy)
+    if edges is None and groupby is None:
+        _sl = select if isinstance(select, list) else ([select] if select else [])
+        if any(isinstance(s, dict) and s.get("aggregate") not in (None, "none")
+               for s in _sl):
+            edges = []
 
     if edges is not None or groupby is not None:
         # multivalue edges (MultivalueDecoder, vendor/jx_elasticsearch/es52/

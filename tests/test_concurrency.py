@@ -321,3 +321,38 @@ def test_compact_sort_by_orders_within_buckets(spark, tmp_path):
                     os.path.join(bpath, fn), columns=["path"]
                 )["path"].to_pylist()
                 assert paths == sorted(paths)
+
+
+def test_jx_queries_lake_table(spark, tmp_path):
+    """jx-lite reads the CDC lake directly: {"from": "lake:<path>"} runs
+    the query over the converged table (with @version time travel)."""
+    from activedata_etl_spark.plans.jx import run
+
+    loc = str(tmp_path / "lake")
+    t = _mk(spark, loc)
+    v1 = t.snapshot()["version"]
+    upd = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f0.py", "d" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    apply_batch(t, _norm(upd), 1)
+    out = run(
+        {"from": f"lake:{loc}", "select": ["path", "content"],
+         "where": {"eq": {"path": "f0.py"}}, "limit": None},
+        {},
+    ).collect()
+    assert [(r["path"], r["content"]) for r in out] == [("f0.py", "NEW")]
+    old = run(
+        {"from": f"lake:{loc}@{v1}", "select": ["content"],
+         "where": {"eq": {"path": "f0.py"}}, "limit": None},
+        {},
+    ).collect()
+    assert [r["content"] for r in old] == ["V0"]
+    agg = run(
+        {"from": f"lake:{loc}",
+         "select": [{"name": "n", "aggregate": "count"}]},
+        {},
+    ).collect()
+    assert agg[0]["n"] == 8
+    with pytest.raises(KeyError):
+        run({"from": "nope", "select": ["x"]}, {})
