@@ -72,8 +72,17 @@ def apply_batch(
     lww_strategy: str = "structmax",
     merge_mode: str = "auto",
     delta_fraction: float = 0.05,
+    advance_fence: bool = True,
 ) -> dict:
     """Apply one micro-batch of change events; returns a lineage summary.
+
+    ``advance_fence=False`` is REPAIR mode: the batch is merged through the
+    same versioned LWW path, but the commit keeps the table's batch fence
+    and per-partition watermarks unchanged — committed chunks can be
+    re-applied idempotently (the external_gte version guard makes stale
+    rows lose, lost rows reinsert) without fencing anything in or out of
+    later replays.  Callers must also disable ``enforce_watermark`` or the
+    re-applied events are dropped at the watermark filter.
 
     ``merge_mode`` picks the physical write strategy:
 
@@ -133,7 +142,8 @@ def apply_batch(
             batch = batch.withColumn(k, F.col(k).try_cast(tbl_types[k]))
 
     # ---- epoch fence: a replayed batch is a no-op ----------------------
-    if batch_id <= int(snap["batch_id"]):
+    # (repair mode bypasses it — re-applying committed chunks is the point)
+    if advance_fence and batch_id <= int(snap["batch_id"]):
         return {"batch_id": batch_id, "skipped": True, "reason": "epoch_fenced"}
 
     # ---- watermark filter: already-applied offsets drop ----------------
@@ -280,6 +290,7 @@ def apply_batch(
                 schema_json=snap["schema"], changes=[],
                 applied=0, deletes=0, conflicts=0, t0=t0,
                 partition_col=partition_col, max_event_ts=new_max_event_ts,
+                advance_fence=advance_fence,
             )
             s["pre_pass_ms"] = int((t_pre - t0) * 1000)
             return s
@@ -402,6 +413,7 @@ def apply_batch(
                 applied=applied, deletes=deletes, conflicts=0, t0=t0,
                 partition_col=partition_col, max_event_ts=new_max_event_ts,
                 version_cols=version_cols, mode="upsert",
+                advance_fence=advance_fence,
             )
             s["pre_pass_ms"] = int((t_pre - t0) * 1000)
             return s
@@ -440,6 +452,7 @@ def apply_batch(
                 applied=applied, deletes=deletes, conflicts=0, t0=t0,
                 partition_col=partition_col, max_event_ts=new_max_event_ts,
                 version_cols=version_cols, mode="delta",
+                advance_fence=advance_fence,
             )
             s["pre_pass_ms"] = int((t_pre - t0) * 1000)
             return s
@@ -511,6 +524,7 @@ def apply_batch(
             conflicts=int(m["conflicts"] or 0), t0=t0,
             partition_col=partition_col, max_event_ts=new_max_event_ts,
             version_cols=version_cols, mode="cow",
+            advance_fence=advance_fence,
         )
         s["pre_pass_ms"] = int((t_pre - t0) * 1000)
         return s
@@ -581,6 +595,7 @@ def _commit(
     max_event_ts: int | None = None,
     version_cols: tuple[str, ...] | None = None,
     mode: str = "cow",
+    advance_fence: bool = True,
 ) -> dict:
     new_version = snap["version"] + 1
     duration_ms = int((time.time() - t0) * 1000)
@@ -643,8 +658,11 @@ def _commit(
     new["parent"] = snap["version"]
     new["ts_ms"] = int(time.time() * 1000)
     new["schema"] = schema_json
-    new["batch_id"] = batch_id
-    new["watermarks"] = {str(k): int(v) for k, v in new_wm.items()}
+    if advance_fence:
+        new["batch_id"] = batch_id
+        new["watermarks"] = {str(k): int(v) for k, v in new_wm.items()}
+    # repair mode: fence + watermarks stay EXACTLY the parent's — the data
+    # change commits, but nothing is newly marked applied
     lineage_dirs = snap.get("lineage_dirs", []) + [lineage_rel]
     if len(lineage_dirs) > LINEAGE_CONSOLIDATE_AT:
         # one dir per commit makes the snapshot JSON and read_lineage cost

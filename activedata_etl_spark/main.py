@@ -66,6 +66,13 @@ def _parser() -> argparse.ArgumentParser:
     b.add_argument("--offsets", required=True, help="lo..hi inclusive range")
     b.add_argument("--chunk-events", type=int, default=50_000_000)
 
+    rp = sub.add_parser("repair",
+                        help="re-apply committed chunks; fence unchanged")
+    rp.add_argument("--journal", required=True)
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--offsets", required=True, help="lo..hi inclusive range")
+    rp.add_argument("--chunk-events", type=int, default=50_000_000)
+
     for name in ("compact", "expire", "analyze", "lineage"):
         c = sub.add_parser(name)
         c.add_argument("--table", required=True)
@@ -126,6 +133,14 @@ def main(argv: list[str] | None = None) -> None:
         )
         r.pop("summaries", None)
         print(json.dumps(r))
+    elif args.cmd == "repair":
+        from activedata_etl_spark.streaming.replay import repair_range
+
+        lo, hi = (int(x) for x in args.offsets.split(".."))
+        print(json.dumps(repair_range(
+            spark, args.journal, args.table, (lo, hi),
+            chunk_events=args.chunk_events, verbose=True,
+        )))
     elif args.cmd == "compact":
         from activedata_etl_spark.lake.table import SnapshotTable
 

@@ -242,6 +242,65 @@ def replay_journal(
     }
 
 
+def repair_range(
+    spark: SparkSession,
+    journal_dir: str,
+    table_location: str,
+    offset_range: tuple[int, int],
+    *,
+    chunk_events: int = 50_000_000,
+    salted: bool = False,
+    verbose: bool = False,
+) -> dict:
+    """REPAIR: re-apply committed journal chunks without moving the fence.
+
+    ``replay_journal(offset_range=...)`` is bounded CATCH-UP — chunks at or
+    below the committed frontier are skipped by design.  This is the other
+    half: re-merge an offset range through the same versioned LWW path while
+    the commit keeps ``batch_id`` and the per-partition watermarks EXACTLY
+    as they were.  The external_gte version guard makes it idempotent and
+    safe at any point: stale events lose to newer table rows, missing rows
+    (lost files, partial restores) are reinserted, and later replays see an
+    unchanged frontier — nothing is fenced in or out.  The re-ETL analog of
+    the reference's idempotent block re-processing
+    (`activedata_etl/sinks/s3_bucket.py:92-118` UniqueIndex merge).
+    """
+    from activedata_etl_spark.journal import read_journal
+
+    t0 = time.time()
+    lo, hi = offset_range
+    journal = read_journal(spark, journal_dir).where(
+        F.col("offset").between(lo, hi)
+    )
+    table = SnapshotTable(spark, table_location)
+    fence_before = table.last_batch_id()
+    wm_before = table.watermarks()
+    first, last = lo // chunk_events, hi // chunk_events
+    total = 0
+    for i in range(first, last + 1):
+        clo, chi = i * chunk_events, (i + 1) * chunk_events - 1
+        chunk = journal.where(F.col("offset").between(clo, chi))
+        s = apply_batch(
+            table, normalize_keys(chunk), i, salted=salted,
+            finalize_fn=finalize_records, enforce_watermark=False,
+            advance_fence=False, lineage_level="full",
+        )
+        if not s.get("skipped"):
+            total += s["rows_read"]
+            if verbose:
+                print(f"[repair] chunk {i}: {s['rows_read']} events "
+                      f"re-applied, conflicts={s['merge_conflicts_resolved']}")
+    assert table.last_batch_id() == fence_before
+    assert table.watermarks() == wm_before
+    elapsed = time.time() - t0
+    return {
+        "chunks": last - first + 1,
+        "events_reapplied": total,
+        "elapsed_sec": round(elapsed, 3),
+        "fence_batch_id": fence_before,
+    }
+
+
 def stream_journal(
     spark: SparkSession,
     journal_dir: str,

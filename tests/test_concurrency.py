@@ -356,3 +356,41 @@ def test_jx_queries_lake_table(spark, tmp_path):
     assert agg[0]["n"] == 8
     with pytest.raises(KeyError):
         run({"from": "nope", "select": ["x"]}, {})
+
+
+def test_repair_range_restores_lost_rows_without_moving_fence(spark, tmp_path):
+    """repair_range re-applies committed chunks through the versioned merge:
+    physically lost rows come back, the batch fence and watermarks stay
+    untouched, and a follow-up replay still applies nothing."""
+    from activedata_etl_spark.journal import expected_state_df, read_journal
+    from activedata_etl_spark.streaming.replay import repair_range, replay_journal
+
+    jd = str(tmp_path / "journal")
+    loc = str(tmp_path / "lake")
+    from activedata_etl_spark.journal import write_journal
+
+    write_journal(spark, 1024, jd)
+    replay_journal(spark, jd, loc, chunk_events=512)
+    t = SnapshotTable(spark, loc)
+    fence = t.last_batch_id()
+    wm = t.watermarks()
+    cols = ["repo", "path", "commit", "content"]
+    expected = expected_state_df(read_journal(spark, jd)).select(*cols)
+
+    # simulate data loss: physically remove some rows bypassing the journal
+    lost = t.delete_where("pmod(offset, 3) = 0")
+    assert lost > 0
+    assert t.read().select(*cols).exceptAll(expected).count() == 0
+    assert expected.exceptAll(t.read().select(*cols)).count() > 0  # holes
+
+    r = repair_range(spark, jd, loc, (0, 1023), chunk_events=512)
+    assert r["events_reapplied"] > 0
+    assert t.last_batch_id() == fence
+    assert t.watermarks() == wm
+    got = t.read().select(*cols)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0  # converged again
+
+    # the fence still holds: catch-up replay has nothing to do
+    r2 = replay_journal(spark, jd, loc, chunk_events=512)
+    assert r2["batches"] == 0
