@@ -1,0 +1,149 @@
+"""Dataset-assembly operators for a training-data pipeline: deterministic
+splits and train/test contamination detection.
+
+The reference shards work by key hash (`activedata_etl/etl.py:438-446` spot
+workers over key ranges; ES routing by _id); a corpus pipeline needs the
+same idea as USER-FACING operators: assign every document to a
+train/val/test split purely from its id (stable under reruns, joins,
+repartitioning — never `rand()`), and detect evaluation-set text leaking
+into the training set.
+
+Both are pure Catalyst expressions over the SQL-expressible mix31 hash
+family (`operators/dedup.py`), so the DuckDB oracle replicates them
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from activedata_etl_spark.operators.dedup import (
+    MIX_P,
+    fanout,
+    mix_consts,
+    shingled,
+)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    seed: int = 101,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    u = mix31(id) / P is uniform on [0, 1); cumulative weight intervals map
+    u to a split name.  Deterministic in the id alone: the same document
+    lands in the same split across reruns, engines, and table layouts —
+    the property ``rand()``-based splitting lacks and training pipelines
+    require (no eval contamination from re-shuffles).  Weights are
+    normalized; iteration order of ``weights`` fixes the interval order.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    total = float(sum(weights.values()))
+    ((a, c),) = mix_consts(seed, 1)
+    u = ((F.col(id_col).cast("long") % MIX_P) * a + c) % MIX_P
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(acc * MIX_P)
+        branch = F.when(u < cut, F.lit(name))
+        expr = branch if expr is None else expr.when(u < cut, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """(test_id, train_id, jaccard) pairs where evaluation text leaks into
+    the training corpus — n-gram Jaccard over word shingles, computed as a
+    bucketed equi-join (shared shingle -> candidate -> exact verify), never
+    a cross join.
+
+    The shape mirrors ``ngram_jaccard_pairs`` but across two corpora: one
+    exploded frame per side joined on the shingle, candidate pair counts
+    aggregated map-side, exact scores only for survivors.  At 10^10 train
+    docs the join is bounded by the (capped) shingle postings, and the test
+    side is typically small.
+    """
+    sh_tr = shingled(train, id_col, text_col, n)
+    sh_te = shingled(test, id_col, text_col, n)
+    ex_tr = sh_tr.select(
+        F.col("id").alias("train_id"), F.explode_outer("sh").alias("shingle")
+    ).repartition("shingle")
+    ex_te = sh_te.select(
+        F.col("id").alias("test_id"), F.explode_outer("sh").alias("shingle")
+    )
+    ex_tr0 = ex_tr
+    if max_shingle_freq is not None:
+        freq = ex_tr0.groupBy("shingle").count().where(
+            F.col("count") <= max_shingle_freq
+        )
+        ex_tr = ex_tr0.join(freq.select("shingle"), "shingle")
+    # count-filter-verify across the two corpora (same shape as
+    # ngram_jaccard_pairs): __c = shared shingles with CAPPED train
+    # postings; the test side is uncapped, so the only intersection __c can
+    # miss comes from capped-away train shingles — with d = |train| -
+    # |train_capped|, |A∩B| <= __c + d bounds the achievable jaccard and
+    # prunes candidates before any array_intersect (exact when no cap).
+    pc = (
+        ex_te.join(ex_tr, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sz_te = ex_te.groupBy("test_id").agg(F.count(F.lit(1)).alias("__n_te"))
+    sz_tr = ex_tr0.groupBy("train_id").agg(F.count(F.lit(1)).alias("__n_tr"))
+    if max_shingle_freq is not None:
+        capped = ex_tr.groupBy("train_id").agg(
+            F.count(F.lit(1)).alias("__n_tr_c")
+        )
+        sz_tr = sz_tr.join(capped, "train_id", "left").select(
+            "train_id", "__n_tr",
+            F.coalesce("__n_tr_c", F.lit(0)).alias("__n_tr_c"),
+        )
+    else:
+        sz_tr = sz_tr.withColumn("__n_tr_c", F.col("__n_tr"))
+    ub = F.col("__c") + (F.col("__n_tr") - F.col("__n_tr_c"))
+    cand = (
+        pc.join(sz_te, "test_id").join(sz_tr, "train_id")
+        .where(ub / (F.col("__n_te") + F.col("__n_tr") - ub)
+               >= threshold - 1e-6)
+        .select("test_id", "train_id", "__n_te", "__n_tr")
+    )
+    verify = (
+        cand.join(
+            sh_te.select(F.col("id").alias("test_id"),
+                         F.col("sh").alias("sh_te")).repartition("test_id"),
+            "test_id",
+        )
+        .join(
+            sh_tr.select(F.col("id").alias("train_id"),
+                         F.col("sh").alias("sh_tr")).repartition("train_id"),
+            "train_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_te", "sh_tr"))
+    union = F.col("__n_te") + F.col("__n_tr") - inter
+    return (
+        verify.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("test_id", "train_id", "jaccard")
+    )
+
+
+__all__ = ["split_assign", "contamination_pairs", "fanout"]

@@ -1496,6 +1496,90 @@ def typed_json_props(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def data_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the doc id alone
+    (operators/sampling.py:split_assign) — mix31 arithmetic, so the DuckDB
+    oracle reproduces every assignment bit-for-bit."""
+    from activedata_etl_spark.operators.sampling import split_assign
+
+    d = _t(spark, sf, "documents")
+    return (
+        split_assign(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _split_consts():
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(101, 1)
+    cut1 = int(0.9 * MIX_P)
+    cut2 = int(0.95 * MIX_P)
+    return a, c, cut1, cut2, MIX_P
+
+
+_SA, _SC, _CUT1, _CUT2, _SP = _split_consts()
+
+ORACLE_DATA_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN u < {_CUT1} THEN 'train'
+            WHEN u < {_CUT2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, ((doc_id % {_SP}) * {_SA} + {_SC}) % {_SP} AS u
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
+def contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set leakage scan: documents with doc_id % 20 == 0 act as the
+    held-out set; n-gram Jaccard >= 0.5 against the remaining training
+    corpus flags contamination (operators/sampling.py:contamination_pairs —
+    shingle equi-join + count-filter-verify, never a cross join)."""
+    from activedata_etl_spark.operators.sampling import contamination_pairs
+
+    d = _t(spark, sf, "documents")
+    test = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    return contamination_pairs(
+        train, test, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=JACCARD_MAX_SHINGLE_FREQ,
+    ).orderBy("test_id", "train_id")
+
+
+ORACLE_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), sized AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+tr AS (SELECT * FROM sized WHERE doc_id % 20 <> 0),
+te AS (SELECT * FROM sized WHERE doc_id % 20 = 0),
+ex_tr0 AS (SELECT doc_id, unnest(s) AS shingle FROM tr),
+keep AS (SELECT shingle FROM ex_tr0 GROUP BY shingle
+         HAVING count(*) <= {JACCARD_MAX_SHINGLE_FREQ}),
+ex_tr AS (SELECT doc_id, shingle FROM ex_tr0 JOIN keep USING (shingle)),
+ex_te AS (SELECT doc_id, unnest(s) AS shingle FROM te),
+cand AS (
+  SELECT DISTINCT e.doc_id AS test_id, r.doc_id AS train_id
+  FROM ex_te e JOIN ex_tr r USING (shingle)
+)
+SELECT test_id, train_id,
+       round(len(list_intersect(a.s, b.s)) /
+             (a.n_sh + b.n_sh - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM cand
+JOIN te a ON a.doc_id = test_id
+JOIN tr b ON b.doc_id = train_id
+WHERE round(len(list_intersect(a.s, b.s)) /
+            (a.n_sh + b.n_sh - len(list_intersect(a.s, b.s))), 6) >= 0.5
+ORDER BY test_id, train_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1549,6 +1633,8 @@ SPARK_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "multimodal_meta": multimodal_meta,
     "typed_json_props": typed_json_props,
+    "data_split": data_split,
+    "contamination": contamination,
 }
 
 ORACLE_SQL = {
@@ -1600,4 +1686,6 @@ ORACLE_SQL = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "typed_json_props": ORACLE_TYPED_JSON,
+    "data_split": ORACLE_DATA_SPLIT,
+    "contamination": ORACLE_CONTAMINATION,
 }

@@ -543,3 +543,47 @@ def test_ivf_blas_path_matches_catalyst_path(spark, emb):
           for r in S.ivf_ann_topk(emb, q, k=3, n_centroids=8, n_probe=3,
                                   _force_blas=True).collect()}
     assert bl == cat and len(bl) > 0
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    from activedata_etl_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = split_assign(df, "doc_id", w).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.01
+    # stable under repartitioning and reruns: same id -> same split
+    b = split_assign(df.repartition(7), "doc_id", w)
+    from pyspark.sql import functions as F
+    joined = (
+        split_assign(df, "doc_id", w).alias("x")
+        .join(b.alias("y"), "doc_id")
+        .where(F.col("x.split") != F.col("y.split"))
+    )
+    assert joined.count() == 0
+
+
+def test_contamination_pairs_finds_injected_leak(spark):
+    from activedata_etl_spark.operators.sampling import contamination_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unrelated text number {i} with totally distinct words "
+                f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(1, 40)]
+    rows.append((100, base))                       # train copy
+    rows.append((200, base + " exactly"))          # near-identical test doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    test = df.where("doc_id >= 200")
+    train = df.where("doc_id < 200")
+    got = contamination_pairs(
+        train, test, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert [(r["test_id"], r["train_id"]) for r in got] == [(200, 100)]
+    assert got[0]["jaccard"] > 0.8
+    # disjoint corpora: no pairs, no crash
+    none = contamination_pairs(
+        train.where("doc_id < 10"), test, "doc_id", "text", threshold=0.5
+    )
+    assert none.count() == 0
