@@ -46,7 +46,10 @@ def split_assign(
         raise ValueError("weights must name at least one split")
     total = float(sum(weights.values()))
     ((a, c),) = mix_consts(seed, 1)
-    u = ((F.col(id_col).cast("long") % MIX_P) * a + c) % MIX_P
+    # pmod, not %: both Spark and DuckDB keep the dividend's sign on %, so a
+    # negative id would always land in the first split; the oracle mirrors
+    # with ((id % P + P) % P)
+    u = (F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P)) * a + c) % MIX_P
     expr = None
     acc = 0.0
     names = list(weights)

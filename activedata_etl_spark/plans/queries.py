@@ -1526,7 +1526,8 @@ SELECT doc_id,
        CASE WHEN u < {_CUT1} THEN 'train'
             WHEN u < {_CUT2} THEN 'val'
             ELSE 'test' END AS split
-FROM (SELECT doc_id, ((doc_id % {_SP}) * {_SA} + {_SC}) % {_SP} AS u
+FROM (SELECT doc_id,
+             (((doc_id % {_SP} + {_SP}) % {_SP}) * {_SA} + {_SC}) % {_SP} AS u
       FROM documents)
 ORDER BY doc_id
 """

@@ -290,14 +290,18 @@ def repair_range(
             if verbose:
                 print(f"[repair] chunk {i}: {s['rows_read']} events "
                       f"re-applied, conflicts={s['merge_conflicts_resolved']}")
-    assert table.last_batch_id() == fence_before
-    assert table.watermarks() == wm_before
+    # repair itself never advances the fence; a CONCURRENT ingest writer
+    # legally can (its commits carry advance_fence=True), so report rather
+    # than assert — fence_moved=False is the single-writer invariant
+    fence_after = table.last_batch_id()
+    wm_after = table.watermarks()
     elapsed = time.time() - t0
     return {
         "chunks": last - first + 1,
         "events_reapplied": total,
         "elapsed_sec": round(elapsed, 3),
-        "fence_batch_id": fence_before,
+        "fence_batch_id": fence_after,
+        "fence_moved": fence_after != fence_before or wm_after != wm_before,
     }
 
 

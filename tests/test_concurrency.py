@@ -385,6 +385,7 @@ def test_repair_range_restores_lost_rows_without_moving_fence(spark, tmp_path):
 
     r = repair_range(spark, jd, loc, (0, 1023), chunk_events=512)
     assert r["events_reapplied"] > 0
+    assert r["fence_moved"] is False
     assert t.last_batch_id() == fence
     assert t.watermarks() == wm
     got = t.read().select(*cols)
