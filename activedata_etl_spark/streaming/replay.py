@@ -114,8 +114,8 @@ def replay_journal(
     repair: chunks at or below the committed frontier are skipped by the
     resume fence (and apply_batch's epoch fence), so only the uncommitted
     tail inside the range is ever applied — a range over already-applied
-    offsets is a deliberate no-op.  To re-apply committed data (repair),
-    rebuild the table or use ``SnapshotTable.compact``/``update_where``.
+    offsets is a deliberate no-op.  To re-apply committed data use
+    ``repair_range`` (same merge path, fence and watermarks unchanged).
     """
     from activedata_etl_spark.journal import journal_metadata, read_journal
 
@@ -317,6 +317,7 @@ def stream_journal(
     n_buckets: int = 64,
     timeout_sec: float | None = None,
     merge_mode: str = "auto",
+    max_deltas_per_bucket: int | None = 16,
 ):
     """Structured Streaming tail over the journal directory.
 
@@ -338,11 +339,15 @@ def stream_journal(
         # file-stream epochs are mtime-ordered, NOT offset-ordered: the
         # offset watermark must not filter here (tombstones + version guard
         # keep replay order-independent; the epoch fence keeps it idempotent)
-        apply_batch(
+        s = apply_batch(
             table, normalize_keys(df), epoch_id, salted=salted,
             finalize_fn=finalize_records, enforce_watermark=False,
             merge_mode=merge_mode,
         )
+        # same steady-state maintenance as chunked replay: bound each
+        # bucket's delta chain without an external scheduler
+        if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
+            table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
