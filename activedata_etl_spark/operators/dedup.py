@@ -713,23 +713,42 @@ def embedding_neardup_lsh(
         )
         for t in range(n_tables)
     ])
+    src = fanout(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+    # candidate generation over IDS ONLY: carrying the ~1KB vector through
+    # the banded exchange, the self-join, and the dedup shuffle quadrupled
+    # shuffle width and scored duplicate pairs once per co-bucketing table
+    # (44 s of stage CPU at sf0.1).  Dedup narrow id pairs first, then
+    # attach vectors from one id-keyed exchange and score each pair ONCE.
     b = (
-        fanout(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
-        .select("id", "vec", F.posexplode_outer(buckets).alias("table", "bucket"))
+        src.select("id", F.posexplode_outer(buckets).alias("table", "bucket"))
         .repartition("table", "bucket")
     )
-    left = b.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
-    )
-    right = b.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket"
-    )
-    return (
+    left = b.withColumnsRenamed({"id": "id_a"})
+    right = b.withColumnsRenamed({"id": "id_b"})
+    cand = (
         left.join(right, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # norms once per DOC (not once per pair — the dot is the only per-pair
+    # HOF traversal left), and an explicit repartition before scoring: the
+    # pair frame is tiny in bytes but CPU-heavy per row, and AQE coalesces
+    # by size — without this the cosine stage ran on 2 tasks (8.5 s wall
+    # for 12.5 s CPU at sf0.1)
+    vr = src.withColumn("__nrm", S.norm(F.col("vec"))).repartition("id")
+    va = vr.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                   F.col("__nrm").alias("__na"))
+    vb = vr.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                   F.col("__nrm").alias("__nb"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    dot = S.dot(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .repartition(par)
         .withColumn(
-            "cosine", F.round(S.cosine(F.col("va"), F.col("vb")), 6)
+            "cosine",
+            F.round(dot / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)), 6),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -169,22 +169,43 @@ def lsh_ann_topk(
             ]
         )
 
-    cb = fanout(corpus.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.posexplode_outer(buckets(F.col(vec_col))).alias("table", "bucket"),
+    csrc = fanout(corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ))
+    # candidates over ids only: the corpus vector stays OUT of the bucket
+    # join and the dedup shuffle (same fix as embedding_neardup_lsh — score
+    # once per distinct pair, not once per co-bucketing table)
+    cb = csrc.select(
+        "neighbor_id",
+        F.posexplode_outer(buckets(F.col("c_vec"))).alias("table", "bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
         F.posexplode_outer(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    scored = (
+    cand = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("__nq"),
+    )
+    # norms once per doc; explicit repartition so AQE's size-based
+    # coalescing doesn't serialize the CPU-heavy scoring of a tiny pair
+    # frame (see embedding_neardup_lsh)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    dotqc = dot(F.col("q_vec"), F.col("c_vec"))
+    scored = (
+        cand.join(csrc.withColumn("__nc", norm(F.col("c_vec"))), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .repartition(par)
+        .withColumn(
+            "score",
+            F.round(dotqc / F.nullif(F.col("__nq") * F.col("__nc"), F.lit(0.0)), 6),
+        )
         .where(F.col("score").isNotNull())
         .select("query_id", "neighbor_id", "score")
     )
