@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from activedata_etl_spark import ENGINE_REVISION
 from activedata_etl_spark.lake.schema_evolution import align_to_schema, merge_schemas
-from activedata_etl_spark.lake.table import BUCKET_COL, DELETED_COL, SnapshotTable
+from activedata_etl_spark.lake.table import (
+    BUCKET_COL,
+    DELETED_COL,
+    CommitConflictError,
+    SnapshotTable,
+)
 from activedata_etl_spark.operators.lww import lww_reduce, lww_reduce_structmax
 
 ENVELOPE_DROP = ["op", "partition"]  # journal envelope not stored in the table
@@ -653,78 +658,139 @@ def _commit(
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(tbl, os.path.join(out_dir, "lineage.parquet"))
 
-    new = dict(snap)
-    new["version"] = new_version
-    new["parent"] = snap["version"]
-    new["ts_ms"] = int(time.time() * 1000)
-    new["schema"] = schema_json
-    if advance_fence:
-        new["batch_id"] = batch_id
-        new["watermarks"] = {str(k): int(v) for k, v in new_wm.items()}
-    # repair mode: fence + watermarks stay EXACTLY the parent's — the data
-    # change commits, but nothing is newly marked applied
-    lineage_dirs = snap.get("lineage_dirs", []) + [lineage_rel]
-    if len(lineage_dirs) > LINEAGE_CONSOLIDATE_AT:
-        # one dir per commit makes the snapshot JSON and read_lineage cost
-        # O(total batches ever applied) — at 10^10-event scale (~40k
-        # batches) that is unbounded hot-path metadata growth.  Fold the
-        # older dirs into ONE consolidated parquet (driver-side pyarrow;
-        # the inputs are one tiny file each).  Old dirs stay on disk for
-        # older snapshots until expire_snapshots prunes them.
-        keep = LINEAGE_CONSOLIDATE_AT // 4
-        old_dirs, tail = lineage_dirs[:-keep], lineage_dirs[-keep:]
-        consolidated = pa.concat_tables([
-            pq.read_table(os.path.join(table.location, d))
-            for d in old_dirs
-        ])
-        crel = f"lineage/c{new_version}-{_uuid.uuid4().hex[:8]}"
-        cdir = os.path.join(table.location, crel)
-        os.makedirs(cdir, exist_ok=True)
-        pq.write_table(consolidated, os.path.join(cdir, "lineage.parquet"))
-        lineage_dirs = [crel] + tail
-    new["lineage_dirs"] = lineage_dirs
-    if max_event_ts is not None:
-        new["max_event_ts"] = int(max_event_ts)
-    bucket_dirs = dict(snap["bucket_dirs"])
-    dir_versions = dict(snap["dir_versions"])
-    delta_dirs = {b: list(r) for b, r in snap.get("delta_dirs", {}).items()}
-    bucket_rows = dict(snap.get("bucket_rows", {}))
-    if touched is not None and data_rel is not None:
-        dir_versions[data_rel] = new_version
-        written = table.written_bucket_rows(data_rel)
-        if mode == "delta":
-            for b in written:
-                delta_dirs.setdefault(b, []).append(data_rel)
-        else:
-            for b in touched:
-                bucket_dirs[str(b)] = data_rel
-                bucket_rows[str(b)] = written.get(str(b), 0)
-                if mode == "cow":
-                    # the CoW merge read base ∪ deltas for these buckets, so
-                    # the rewrite folded the deltas in; the pure-upsert path
-                    # (mode="upsert") never read them — they stay live
-                    delta_dirs.pop(str(b), None)
-    new["bucket_dirs"] = bucket_dirs
-    # prune dir_versions to dirs still referenced (bucket pointers + delta
-    # chains): keeps the snapshot JSON O(buckets), not O(commits ever made)
-    live_dirs = set(bucket_dirs.values()) | {
-        r for rels in delta_dirs.values() for r in rels
-    }
-    if data_rel is not None:
-        live_dirs.add(data_rel)
-    new["dir_versions"] = {
-        d: v for d, v in dir_versions.items() if d in live_dirs
-    }
-    new["delta_dirs"] = delta_dirs
-    new["bucket_rows"] = bucket_rows
-    if version_cols is not None and not snap.get("version_cols"):
-        # tables created before version_cols were recorded: pin them at the
-        # first commit so read-time delta merging knows the LWW order
-        new["version_cols"] = list(version_cols)
-    if changes:
-        new.setdefault("properties", {})
-        new["properties"][f"schema_changes_v{new_version}"] = changes
-    table._commit_snapshot(new)
+    # ---- build + CAS-commit, with commit-time rebase where it is safe ----
+    # A DELTA batch's files are independent of the base (read-time LWW
+    # resolves order), and a metadata-only commit carries no files at all —
+    # for those, losing the version CAS to a concurrent maintenance commit
+    # only requires re-pointing the SAME data at the fresh parent (schema
+    # re-merged, watermarks/fence taken as per-key max).  CoW/upsert
+    # rewrites DO depend on the base they merged against, so they re-raise
+    # and the caller recomputes the batch (replay_journal's retry).
+    from pyspark.sql import types as _T
+
+    written = (
+        table.written_bucket_rows(data_rel)
+        if touched is not None and data_rel is not None else None
+    )
+    parent = snap
+    eff_schema = schema_json
+    for attempt in range(8):
+        new_version = parent["version"] + 1
+        new = dict(parent)
+        new["version"] = new_version
+        new["parent"] = parent["version"]
+        new["ts_ms"] = int(time.time() * 1000)
+        new["schema"] = eff_schema
+        if advance_fence:
+            wm = {str(k): int(v) for k, v in new_wm.items()}
+            if parent is not snap:
+                for k, v in parent.get("watermarks", {}).items():
+                    wm[str(k)] = max(int(v), int(wm.get(str(k), -1)))
+                new["batch_id"] = max(int(parent.get("batch_id", -1)), batch_id)
+            else:
+                new["batch_id"] = batch_id
+            new["watermarks"] = wm
+        # repair mode: fence + watermarks stay EXACTLY the parent's — the
+        # data change commits, but nothing is newly marked applied
+        lineage_dirs = parent.get("lineage_dirs", []) + [lineage_rel]
+        if len(lineage_dirs) > LINEAGE_CONSOLIDATE_AT:
+            # one dir per commit makes the snapshot JSON and read_lineage
+            # cost O(total batches ever applied) — at 10^10-event scale
+            # (~40k batches) that is unbounded hot-path metadata growth.
+            # Fold the older dirs into ONE consolidated parquet
+            # (driver-side pyarrow; the inputs are one tiny file each).
+            # Old dirs stay on disk for older snapshots until
+            # expire_snapshots prunes them.
+            keep = LINEAGE_CONSOLIDATE_AT // 4
+            old_dirs, tail = lineage_dirs[:-keep], lineage_dirs[-keep:]
+            consolidated = pa.concat_tables([
+                pq.read_table(os.path.join(table.location, d))
+                for d in old_dirs
+            ])
+            crel = f"lineage/c{new_version}-{_uuid.uuid4().hex[:8]}"
+            cdir = os.path.join(table.location, crel)
+            os.makedirs(cdir, exist_ok=True)
+            pq.write_table(consolidated, os.path.join(cdir, "lineage.parquet"))
+            lineage_dirs = [crel] + tail
+        new["lineage_dirs"] = lineage_dirs
+        if max_event_ts is not None:
+            new["max_event_ts"] = max(
+                int(max_event_ts), int(parent.get("max_event_ts", -1))
+            )
+        bucket_dirs = dict(parent["bucket_dirs"])
+        dir_versions = dict(parent["dir_versions"])
+        delta_dirs = {b: list(r) for b, r in parent.get("delta_dirs", {}).items()}
+        bucket_rows = dict(parent.get("bucket_rows", {}))
+        if written is not None:
+            dir_versions[data_rel] = new_version
+            if mode == "delta":
+                for b in written:
+                    delta_dirs.setdefault(b, []).append(data_rel)
+            else:
+                for b in touched:
+                    bucket_dirs[str(b)] = data_rel
+                    bucket_rows[str(b)] = written.get(str(b), 0)
+                    if mode == "cow":
+                        # the CoW merge read base ∪ deltas for these
+                        # buckets, so the rewrite folded the deltas in; the
+                        # pure-upsert path (mode="upsert") never read them
+                        # — they stay live
+                        delta_dirs.pop(str(b), None)
+        new["bucket_dirs"] = bucket_dirs
+        # prune dir_versions to dirs still referenced (bucket pointers +
+        # delta chains): keeps the snapshot JSON O(buckets), not O(commits
+        # ever made)
+        live_dirs = set(bucket_dirs.values()) | {
+            r for rels in delta_dirs.values() for r in rels
+        }
+        if data_rel is not None:
+            live_dirs.add(data_rel)
+        new["dir_versions"] = {
+            d: v for d, v in dir_versions.items() if d in live_dirs
+        }
+        new["delta_dirs"] = delta_dirs
+        new["bucket_rows"] = bucket_rows
+        if version_cols is not None and not parent.get("version_cols"):
+            # tables created before version_cols were recorded: pin them at
+            # the first commit so read-time delta merging knows the LWW order
+            new["version_cols"] = list(version_cols)
+        if changes:
+            new.setdefault("properties", {})
+            new["properties"] = dict(
+                new["properties"], **{f"schema_changes_v{new_version}": changes}
+            )
+        try:
+            table._commit_snapshot(new)
+            break
+        except CommitConflictError:
+            if attempt == 7:
+                raise
+            fresh = table.snapshot()
+            if not (data_rel is None or mode == "delta"):
+                # CoW/upsert rewrites merged against snap's base: they can
+                # only rebase if every touched bucket is EXACTLY as the
+                # merge saw it (same base pointer, same delta chain) — true
+                # when racing metadata-only commits (analyze, schema), false
+                # when a compactor folded those buckets (its fold holds rows
+                # our rewrite lacks); then the caller must recompute.
+                sd, fd = snap.get("delta_dirs", {}), fresh.get("delta_dirs", {})
+                unchanged = all(
+                    fresh["bucket_dirs"].get(str(b)) == snap["bucket_dirs"].get(str(b))
+                    and fd.get(str(b), []) == sd.get(str(b), [])
+                    for b in (touched or [])
+                )
+                if not unchanged:
+                    raise
+            parent = fresh
+            if parent["schema"] != snap["schema"]:
+                # a concurrent writer evolved the schema: our files are
+                # still readable (read-time align/cast), but the committed
+                # schema must be the UNION or their columns would vanish
+                merged2, _ = merge_schemas(
+                    _T.StructType.fromJson(parent["schema"]),
+                    _T.StructType.fromJson(schema_json),
+                )
+                eff_schema = merged2.jsonValue()
 
     return {
         "batch_id": batch_id,

@@ -198,7 +198,7 @@ def replay_journal(
         # race against a SECOND ingest writer of the same journal a clean
         # skip).  Data/lineage dirs from lost attempts are orphans swept by
         # expire_snapshots after the grace period.
-        for attempt in range(3):
+        for attempt in range(8):
             try:
                 s = apply_batch(
                     table, normalize_keys(chunk), i, salted=salted,
@@ -213,8 +213,11 @@ def replay_journal(
                 )
                 break
             except CommitConflictError:
-                if attempt == 2:
+                if attempt == 7:
                     raise
+                # jittered backoff so a periodic maintenance committer and
+                # the batch recompute don't phase-lock
+                time.sleep(0.05 + 0.1 * attempt)
         summaries.append(s)
         if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
             table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)

@@ -395,3 +395,62 @@ def test_repair_range_restores_lost_rows_without_moving_fence(spark, tmp_path):
     # the fence still holds: catch-up replay has nothing to do
     r2 = replay_journal(spark, jd, loc, chunk_events=512)
     assert r2["batches"] == 0
+
+
+def test_chaos_ingest_with_concurrent_maintenance(spark, tmp_path):
+    """The realistic concurrent deployment: one ingest loop replaying the
+    journal while a compactor and an analyzer hammer the same table from
+    other threads.  Everything must land (retries absorb the CAS races) and
+    the final table must byte-converge to the journal's expected state."""
+    from activedata_etl_spark.journal import expected_state_df, read_journal, write_journal
+    from activedata_etl_spark.streaming.replay import replay_journal
+
+    jd = str(tmp_path / "journal")
+    loc = str(tmp_path / "lake")
+    write_journal(spark, 4096, jd)
+
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def ingest():
+        try:
+            # small chunks + delta mode maximize commit frequency (more
+            # chances to race the maintenance threads)
+            replay_journal(spark, jd, loc, chunk_events=256,
+                           merge_mode="delta", max_deltas_per_bucket=4)
+        except Exception as e:
+            errs.append(e)
+        finally:
+            stop.set()
+
+    def compactor():
+        try:
+            while not stop.wait(0.4):
+                if SnapshotTable.exists(spark, loc):
+                    SnapshotTable(spark, loc).compact()
+        except Exception as e:
+            errs.append(e)
+
+    def analyzer():
+        try:
+            while not stop.wait(0.3):
+                if SnapshotTable.exists(spark, loc):
+                    SnapshotTable(spark, loc).analyze(columns=["repo"])
+        except Exception as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=f) for f in (ingest, compactor, analyzer)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(600)
+    assert not errs, errs
+    t = SnapshotTable(spark, loc)
+    cols = ["repo", "path", "commit", "content"]
+    exp = expected_state_df(read_journal(spark, jd)).select(*cols)
+    got = t.read().select(*cols)
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # fence completed the whole journal; a re-replay is a no-op
+    r = replay_journal(spark, jd, loc, chunk_events=256)
+    assert r["batches"] == 0
