@@ -93,3 +93,62 @@ def test_lww_matches_python_reduce(spark, events, n_parts):
         key_rows = [r for r in rows if (r[0], r[1]) == k and (r[2], r[3]) == v[:2]]
         if len({(r[4], r[5]) for r in key_rows}) == 1:
             assert got[k] == v
+
+
+# --- property: count-filter-verify jaccard == brute force ------------------
+
+def _py_jaccard_pairs(texts: dict[int, str], n: int, threshold: float):
+    """Reference implementation: exact jaccard over distinct word n-grams."""
+    sets = {}
+    for i, t in texts.items():
+        toks = t.split()
+        sh = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+        if sh:
+            sets[i] = sh
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            j = round(len(a & b) / len(a | b), 6)
+            if j >= threshold:
+                out[(ids[x], ids[y])] = j
+    return out
+
+
+_vocab = ["aa", "bb", "cc", "dd", "ee"]
+_texts = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=0, max_size=10).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_texts,
+       threshold=st.sampled_from([0.3, 0.5, 0.8]),
+       cap=st.sampled_from([None, 1, 2, 100]))
+def test_ngram_jaccard_matches_bruteforce(spark, texts, threshold, cap):
+    """The count-filter-verify upper bound may never drop a qualifying
+    pair: with no cap the operator must equal brute force exactly; with a
+    cap the result is the brute-force pairs whose candidates survive the
+    capped postings, with EXACT scores (never biased by the cap)."""
+    from activedata_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold,
+            max_shingle_freq=cap,
+        ).collect()
+    }
+    want = _py_jaccard_pairs(dict(rows), 3, threshold)
+    if cap is None or cap >= len(texts):
+        assert got == want
+    else:
+        # cap prunes CANDIDATES only: result ⊆ brute force, scores exact
+        assert set(got) <= set(want)
+        for k, v in got.items():
+            assert v == want[k]
