@@ -381,6 +381,53 @@ class SnapshotTable:
             cond = cond & (F.col(c) == F.lit(keys[c]).cast(dtypes[c]))
         return df.where(cond)
 
+    def lookup_many(
+        self,
+        keys: list[dict],
+        *,
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Batched point lookup: N full keys -> rows, scanning only the
+        UNION of the keys' buckets (one job, not N ``lookup`` calls).
+
+        Bucket ids for all keys come from a single local job over the
+        engine's own hash expression; the pruned read is then inner-joined
+        (broadcast — the key list is small by construction) against the
+        requested keys.  For a key list approaching the bucket count a
+        plain ``read().join(keys)`` is the better plan; this is the
+        O(|keys|) access path for dashboards/debugging, not a join
+        replacement.
+        """
+        if not keys:
+            raise ValueError("lookup_many needs at least one key dict")
+        snap = self.snapshot(version)
+        key_cols = snap["key_cols"]
+        for k in keys:
+            missing = [c for c in key_cols if c not in k]
+            if missing:
+                raise ValueError(
+                    f"every key must bind all of {key_cols}; one is missing "
+                    f"{missing}"
+                )
+        schema = T.StructType.fromJson(snap["schema"])
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        kdf = self.spark.createDataFrame(
+            [tuple(k[c] for c in key_cols) for k in keys],
+            T.StructType([T.StructField(c, dtypes[c], True) for c in key_cols]),
+        )
+        buckets = [
+            r["b"] for r in kdf.select(
+                F.pmod(F.hash(*[F.col(c) for c in key_cols]),
+                       F.lit(snap["n_buckets"])).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        df = self.read(
+            buckets=buckets, include_tombstones=include_tombstones,
+            version=version,
+        )
+        return df.join(F.broadcast(kdf.distinct()), key_cols)
+
     def existing_bucket_paths(self, buckets: list[int]) -> list[str]:
         """Physical data paths among ``buckets`` (a delete can empty a bucket,
         leaving a dangling metadata pointer — those are skipped)."""

@@ -78,6 +78,9 @@ def _parser() -> argparse.ArgumentParser:
         c.add_argument("--table", required=True)
         if name == "expire":
             c.add_argument("--keep-last", type=int, default=2)
+            c.add_argument("--orphan-grace-s", type=float, default=3600.0,
+                           help="age before never-referenced dirs (conflict "
+                                "losers / in-flight writes) are collected")
         if name == "compact":
             c.add_argument("--drop-tombstones", action="store_true")
             c.add_argument("--buckets", default=None,
@@ -188,7 +191,8 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "expire":
         from activedata_etl_spark.lake.table import SnapshotTable
 
-        removed = SnapshotTable(spark, args.table).expire_snapshots(args.keep_last)
+        removed = SnapshotTable(spark, args.table).expire_snapshots(
+            args.keep_last, orphan_grace_s=args.orphan_grace_s)
         print(json.dumps({"removed": removed}))
     elif args.cmd == "lineage":
         from activedata_etl_spark.lake.table import SnapshotTable

@@ -454,3 +454,22 @@ def test_chaos_ingest_with_concurrent_maintenance(spark, tmp_path):
     # fence completed the whole journal; a re-replay is a no-op
     r = replay_journal(spark, jd, loc, chunk_events=256)
     assert r["batches"] == 0
+
+
+def test_lookup_many_prunes_to_key_buckets(spark, tmp_path):
+    """Batched point lookup reads only the union of the keys' buckets and
+    equals the full-scan semi-join."""
+    t = _mk(spark, str(tmp_path / "lake"), n_buckets=8)
+    want = [{"repo": "r", "path": "f1.py"}, {"repo": "r", "path": "f6.py"},
+            {"repo": "r", "path": "nope.py"}]
+    got = t.lookup_many(want)
+    rows = {r["path"]: r["content"] for r in got.collect()}
+    assert rows == {"f1.py": "V1", "f6.py": "V6"}
+    # three keys (one nonexistent — it still names a bucket) -> at most 3
+    # of the table's 8 buckets are scanned
+    bucket_ids = {f.split("__bucket=")[1].split("/")[0] for f in got.inputFiles()}
+    assert len(bucket_ids) <= 3
+    with pytest.raises(ValueError):
+        t.lookup_many([{"repo": "r"}])
+    with pytest.raises(ValueError):
+        t.lookup_many([])
