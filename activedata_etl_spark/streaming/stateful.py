@@ -59,3 +59,47 @@ def keyed_running_counts(
     return stream.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    *,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "30 seconds",
+    key_col: str = "repo",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the event stream — the
+    canonical Structured Streaming late-data pattern (the reference's only
+    windowing is fixed message blocks, `pulse_logger.py:41`; rollover
+    routing by `floor(ts, interval)` is the batch-side analog).
+
+    ``withWatermark`` bounds state: windows older than the watermark are
+    finalized and dropped from the store; events arriving later than
+    ``watermark_delay`` past their window are discarded by the engine —
+    complementary to the lake path, where late events are QUARANTINED
+    (merge.apply_batch) because the converged table must stay exact.  Use
+    this operator for monitoring aggregates, never as the system of
+    record.  Output in append mode: one final row per (window, key).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("op") == F.lit("delete")).cast("long")
+            ).alias("n_deletes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col, "n_events", "n_deletes",
+        )
+    )

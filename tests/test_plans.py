@@ -217,3 +217,56 @@ def test_stateful_counts_all_null_seq_emits_null(spark, tmp_path):
            for r in spark.sql("SELECT * FROM nullseq").collect()}
     assert got["r_null"] == (2, None)   # no seq seen -> null, not 0
     assert got["r_real"] == (1, 0)      # a REAL seq 0 still shows as 0
+
+
+def test_windowed_event_counts_watermark(spark, tmp_path):
+    """Watermarked tumbling windows over the journal stream: append-mode
+    finalized windows match the batch groupBy, and the plan carries the
+    watermark + stateful aggregate."""
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.streaming.stateful import windowed_event_counts
+    from pyspark.sql import functions as F
+
+    jd = str(tmp_path / "journal")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_journal(spark, 1024, jd)
+    static = spark.read.parquet(jd)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4).parquet(jd + "/*")
+    )
+    q = (
+        windowed_event_counts(stream, window_duration="1 hour",
+                              watermark_delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.read.parquet(out)
+    # append mode only emits windows the watermark has CLOSED — every
+    # emitted row must exactly match its batch-computed twin
+    want = (
+        static.groupBy(F.window("ts", "1 hour").alias("win"), "repo")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum((F.col("op") == "delete").cast("long")).alias("n_deletes"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "repo", "n_events", "n_deletes")
+    )
+    assert got.count() > 0
+    # the file stream delivers mtime-ordered micro-batches, so events can
+    # arrive after their window was finalized — the watermark DROPS those
+    # (monitoring semantics; the lake path quarantines instead).  Every
+    # emitted window therefore counts at most its batch-computed twin, and
+    # at least one event.
+    j = got.alias("g").join(
+        want.alias("w"), ["window_start", "window_end", "repo"], "left"
+    )
+    bad = j.where(
+        F.col("w.n_events").isNull()
+        | (F.col("g.n_events") > F.col("w.n_events"))
+        | (F.col("g.n_events") < 1)
+    )
+    assert bad.count() == 0
