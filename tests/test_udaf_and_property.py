@@ -152,3 +152,40 @@ def test_ngram_jaccard_matches_bruteforce(spark, texts, threshold, cap):
         assert set(got) <= set(want)
         for k, v in got.items():
             assert v == want[k]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_texts, threshold=st.sampled_from([0.3, 0.5]),
+       cap=st.sampled_from([None, 1, 100]))
+def test_contamination_matches_bruteforce(spark, texts, threshold, cap):
+    """Cross-corpus count-filter-verify: even-indexed docs are the held-out
+    set, odd-indexed the training set; every reported pair must carry the
+    exact brute-force jaccard, and with no cap the scan is exhaustive."""
+    from activedata_etl_spark.operators.sampling import contamination_pairs
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    test = df.where("doc_id % 2 = 0")
+    train = df.where("doc_id % 2 = 1")
+    got = {
+        (r["test_id"], r["train_id"]): r["jaccard"]
+        for r in contamination_pairs(
+            train, test, "doc_id", "text", n=3, threshold=threshold,
+            max_shingle_freq=cap,
+        ).collect()
+    }
+    all_pairs = _py_jaccard_pairs(dict(rows), 3, threshold)
+    # reorient brute-force pairs to (test_id, train_id)
+    want = {}
+    for (a, b), j in all_pairs.items():
+        if a % 2 == 0 and b % 2 == 1:
+            want[(a, b)] = j
+        elif a % 2 == 1 and b % 2 == 0:
+            want[(b, a)] = j
+    if cap is None or cap >= len(texts):
+        assert got == want
+    else:
+        assert set(got) <= set(want)
+        for k, v in got.items():
+            assert v == want[k]
