@@ -533,6 +533,40 @@ class SnapshotTable:
             return None
         return sum(int(counts[b]) for b in live)
 
+    def history(self) -> list[dict]:
+        """Commit history from the retained snapshot files, newest first —
+        the Iceberg snapshots-metadata-table analog.  One dict per
+        retained version: ids, timestamps, fence/watermark state, file
+        accounting; cheap (reads only metadata JSON)."""
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for fn in os.listdir(self.meta_dir):
+            m = re.fullmatch(r"v(\d+)\.json", fn)
+            if not m:
+                continue
+            with open(os.path.join(self.meta_dir, fn)) as f:
+                sn = json.load(f)
+            out.append({
+                "version": sn["version"],
+                "parent": sn.get("parent"),
+                "ts_ms": sn.get("ts_ms"),
+                "batch_id": sn.get("batch_id"),
+                "n_buckets_live": len(sn.get("bucket_dirs", {})),
+                "n_delta_chains": sum(
+                    1 for r in sn.get("delta_dirs", {}).values() if r
+                ),
+                "n_data_dirs": len(sn.get("dir_versions", {})),
+                "base_rows": sum(
+                    int(v) for v in sn.get("bucket_rows", {}).values()
+                ) or None,
+                "max_watermark": max(
+                    (int(v) for v in sn.get("watermarks", {}).values()),
+                    default=None,
+                ),
+            })
+        return sorted(out, key=lambda d: -d["version"])
+
     def dirs_of_version(self, version: int) -> list[str]:
         """Live data dirs written by snapshot ``version`` (from the current
         snapshot's ``dir_versions`` map — dir names carry a nonce and are

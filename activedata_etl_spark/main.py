@@ -73,7 +73,7 @@ def _parser() -> argparse.ArgumentParser:
     rp.add_argument("--offsets", required=True, help="lo..hi inclusive range")
     rp.add_argument("--chunk-events", type=int, default=50_000_000)
 
-    for name in ("compact", "expire", "analyze", "lineage"):
+    for name in ("compact", "expire", "analyze", "lineage", "history"):
         c = sub.add_parser(name)
         c.add_argument("--table", required=True)
         if name == "expire":
@@ -165,6 +165,10 @@ def main(argv: list[str] | None = None) -> None:
         rows = [r.asDict() for r in
                 SnapshotTable(spark, args.table).lookup(keys).collect()]
         print(json.dumps(rows, default=str))
+    elif args.cmd == "history":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        print(json.dumps(SnapshotTable(spark, args.table).history()))
     elif args.cmd == "analyze":
         from activedata_etl_spark.lake.table import SnapshotTable
 

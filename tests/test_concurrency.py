@@ -473,3 +473,18 @@ def test_lookup_many_prunes_to_key_buckets(spark, tmp_path):
         t.lookup_many([{"repo": "r"}])
     with pytest.raises(ValueError):
         t.lookup_many([])
+
+
+def test_history_lists_retained_snapshots(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "lake"))
+    t.analyze(columns=["repo"])
+    h = t.history()
+    assert [x["version"] for x in h] == sorted(
+        (x["version"] for x in h), reverse=True
+    )
+    assert h[0]["version"] == t.current_version()
+    assert h[0]["base_rows"] == 8
+    assert h[-1]["batch_id"] == -1  # the create() snapshot
+    # expiry shrinks history to the retained tail
+    t.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    assert [x["version"] for x in t.history()] == [t.current_version()]
