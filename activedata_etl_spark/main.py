@@ -92,6 +92,19 @@ def _parser() -> argparse.ArgumentParser:
                            help="comma-separated columns to order within "
                                 "each bucket (row-group skipping)")
 
+    q = sub.add_parser("query", help="run a jx query (the reference's "
+                                     "query-service surface)")
+    q.add_argument("--jx", default=None,
+                   help="inline jx query JSON; 'from' may be a registered "
+                        "frame name or lake:<path>[@version]")
+    q.add_argument("--file", default=None, help="path to a jx query JSON file")
+    q.add_argument("--frame", action="append", default=[],
+                   help="name=parquet_path, registers a named frame "
+                        "(repeatable)")
+    q.add_argument("--format", default=None,
+                   choices=["list", "table", "cube"],
+                   help="overrides the query's own format (run_formatted)")
+
     g = sub.add_parser("get", help="bucket-pruned point lookup by key")
     g.add_argument("--table", required=True)
     g.add_argument("--key", action="append", required=True,
@@ -158,6 +171,23 @@ def main(argv: list[str] | None = None) -> None:
             v = t.compact(drop_tombstones=args.drop_tombstones,
                           buckets=buckets, sort_by=sort_by)
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "query":
+        from activedata_etl_spark.plans.jx import run_formatted
+
+        if (args.jx is None) == (args.file is None):
+            raise SystemExit("query needs exactly one of --jx / --file")
+        qdoc = json.loads(
+            args.jx if args.jx is not None else open(args.file).read()
+        )
+        if args.format:
+            qdoc["format"] = args.format
+        frames = {}
+        for spec in args.frame:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--frame wants name=path, got {spec!r}")
+            frames[name] = spark.read.parquet(path)
+        print(json.dumps(run_formatted(qdoc, frames), default=str))
     elif args.cmd == "get":
         from activedata_etl_spark.lake.table import SnapshotTable
 

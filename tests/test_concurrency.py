@@ -488,3 +488,32 @@ def test_history_lists_retained_snapshots(spark, tmp_path):
     # expiry shrinks history to the retained tail
     t.expire_snapshots(keep_last=1, orphan_grace_s=0)
     assert [x["version"] for x in t.history()] == [t.current_version()]
+
+
+def test_query_cli_runs_jx_over_lake(spark, tmp_path, capsys):
+    """The `query` CLI subcommand: a jx query over a lake: source and over
+    a registered parquet frame, through run_formatted."""
+    import json as _json
+
+    from activedata_etl_spark.main import main
+
+    loc = str(tmp_path / "lake")
+    _mk(spark, loc)
+    main(["query", "--jx", _json.dumps({
+        "from": f"lake:{loc}",
+        "where": {"eq": {"path": "f3.py"}},
+        "select": ["path", "content"],
+        "limit": 10,
+    })])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["data"] == [{"path": "f3.py", "content": "V3"}]
+
+    pq = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, v string"
+    ).write.parquet(pq)
+    main(["query", "--frame", f"docs={pq}", "--format", "table",
+          "--jx", _json.dumps({"from": "docs",
+                               "select": [{"name": "n", "aggregate": "count"}]})])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["header"] == ["n"] and out["data"] == [[2]]
