@@ -267,11 +267,90 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    _ZONE_OPS = ("==", "<", "<=", ">", ">=")
+
+    def prunable_buckets(
+        self,
+        filters: list[tuple],
+        version: int | None = None,
+    ) -> list[str] | None:
+        """Zone-map bucket pruning: the subset of bucket ids that MAY hold a
+        row matching ALL of ``filters`` (conjunctive ``(col, op, value)``
+        triples, op in ``==  <  <=  >  >=``), per the per-bucket min/max
+        recorded by the most recent :meth:`analyze` of the pinned snapshot.
+
+        Sound by construction — a bucket is only skipped when
+        (a) its fingerprint (base dir + delta chain) is UNCHANGED since the
+        stats were measured, and (b) its zone map provably excludes the
+        predicate.  Buckets written/appended after the ANALYZE, columns
+        without stats, and value/stat type mismatches all fall back to
+        "must scan".  Returns None when the snapshot carries no bucket
+        stats at all (no pruning possible — scan everything).
+
+        Iceberg analog: manifest-file column bounds driving file skipping;
+        at 10^10 rows this turns a point-ish query on a non-key column into
+        an O(matching buckets) scan decided entirely driver-side.
+        """
+        snap = self.snapshot(version)
+        rel = (snap.get("properties", {})
+               .get("column_stats", {}).get("bucket_stats_dir"))
+        if not rel:
+            return None
+        path = os.path.join(self.location, rel, "bucket_stats.json")
+        try:
+            with open(path) as f:
+                zone = json.load(f)
+        except OSError:
+            return None
+        for c, op, _ in filters:
+            if op not in self._ZONE_OPS:
+                raise ValueError(
+                    f"unsupported zone filter op {op!r} on {c!r} "
+                    f"(supported: {self._ZONE_OPS})")
+        keep: list[str] = []
+        for b in snap["bucket_dirs"]:
+            st = zone["buckets"].get(b)
+            if (st is None
+                    or st["fingerprint"] != self._bucket_fingerprint(snap, b)):
+                keep.append(b)      # changed since ANALYZE: must scan
+                continue
+            if not any(self._zone_excludes(st["cols"].get(c), op, v)
+                       for c, op, v in filters):
+                keep.append(b)
+        return keep
+
+    @staticmethod
+    def _zone_excludes(cs: dict | None, op: str, value) -> bool:
+        """True iff a bucket's column stats PROVE no row matches
+        ``col <op> value``.  Conservative: unknown column, all-unknown
+        bounds, or cross-type comparison -> False (cannot exclude)."""
+        if cs is None:
+            return False
+        if cs["count"] == 0:
+            return True        # no non-null values: no comparison matches
+        lo, hi = cs["min"], cs["max"]
+        num = isinstance(value, (int, float)) and not isinstance(value, bool)
+        ok = ((num and isinstance(lo, (int, float))
+               and not isinstance(lo, bool))
+              or (isinstance(value, str) and isinstance(lo, str)))
+        if not ok:
+            return False       # type mismatch (e.g. timestamp str vs number)
+        if op == "==":
+            return value < lo or value > hi
+        if op == "<":
+            return lo >= value
+        if op == "<=":
+            return lo > value
+        if op == ">":
+            return hi <= value
+        return hi < value      # ">="
+
     def read(
         self,
         buckets: list[int] | None = None,
         include_tombstones: bool = False,
         version: int | None = None,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned), aligned to the
         snapshot's schema.
@@ -287,10 +366,21 @@ class SnapshotTable:
         — the same structmax HashAggregate the write path uses, confined to
         exactly the buckets that have deltas.  Buckets without deltas take
         the plain scan path with zero overhead.
+
+        ``filters`` — conjunctive ``(col, op, value)`` triples — are BOTH
+        applied to the rows (exact result) and used for zone-map bucket
+        pruning against the latest :meth:`analyze` stats (see
+        :meth:`prunable_buckets`): buckets the stats provably exclude are
+        never opened.
         """
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
         wanted = None if buckets is None else {str(b) for b in buckets}
+        if filters:
+            pruned = self.prunable_buckets(filters, version)
+            if pruned is not None:
+                wanted = (set(pruned) if wanted is None
+                          else wanted & set(pruned))
         delta_dirs = {
             b: rels for b, rels in snap.get("delta_dirs", {}).items()
             if rels and (wanted is None or b in wanted)
@@ -328,6 +418,11 @@ class SnapshotTable:
             out = out.where(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             ).drop(DELETED_COL)
+        for c, op, v in filters or []:
+            cond = {"==": F.col(c) == v, "<": F.col(c) < v,
+                    "<=": F.col(c) <= v, ">": F.col(c) > v,
+                    ">=": F.col(c) >= v}[op]
+            out = out.where(cond)
         return out
 
     def lookup(
@@ -817,6 +912,10 @@ class SnapshotTable:
             for rels in s.get("delta_dirs", {}).values():
                 refs.update(rels)
             refs.update(s.get("lineage_dirs", []))
+            stats_rel = (s.get("properties", {})
+                         .get("column_stats", {}).get("bucket_stats_dir"))
+            if stats_rel:
+                refs.add(stats_rel)
             referenced.update(refs)
             if int(m.group(1)) in keep_versions:
                 live_dirs.update(refs)
@@ -845,6 +944,7 @@ class SnapshotTable:
         # lineage dirs orphaned by consolidation (merge.py folds old
         # per-commit dirs into one) or by snapshot expiry
         _sweep("lineage")
+        _sweep("stats")  # zone-map side files of expired ANALYZE commits
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
                 v = int(fn[1:-5])
@@ -853,18 +953,31 @@ class SnapshotTable:
                     removed.append(f"metadata/{fn}")
         return removed
 
+    def _bucket_fingerprint(self, snap: dict, b: str) -> str:
+        """Identity of a bucket's physical contents in ``snap``: its base dir
+        + delta chain.  Zone-map pruning is only sound against the exact file
+        set the stats were measured over; any rewrite/append changes this."""
+        fp = [snap["bucket_dirs"].get(b),
+              sorted(snap.get("delta_dirs", {}).get(b, []))]
+        return json.dumps(fp, sort_keys=True)
+
     def analyze(self, columns: list[str] | None = None) -> dict:
         """Column statistics maintenance op: per-column non-null count,
-        approximate cardinality (HLL), min and max, computed in ONE
-        distributed pass and committed into the snapshot properties — the
-        analog of the reference's background column-metadata daemon
+        approximate cardinality (HLL), min and max — table-wide AND per
+        bucket — computed in ONE distributed ``rollup`` pass.  The analog of
+        the reference's background column-metadata daemon
         (`vendor/jx_elasticsearch/meta.py:338,546` cardinality sampling),
         re-expressed as an explicit Iceberg-style ANALYZE.
 
-        Stats serve planning/inspection (e.g. `suggest_n_buckets` re-sizing,
-        pruning decisions); nothing consumes them automatically yet.
-        Returns the stats dict; readable later via
-        ``snapshot()["properties"]["column_stats"]``.
+        Table-level stats land in snapshot ``properties["column_stats"]``.
+        Per-bucket zone maps (min/max/count per column, one row per bucket)
+        go to a side file under ``stats/`` — the Iceberg-manifest pattern:
+        snapshot JSON stays O(columns), the O(buckets × columns) payload is
+        a separate driver-readable file referenced by relpath.  Each bucket's
+        zone map is stamped with a fingerprint of its physical file set, so
+        ``prunable_buckets``/``read(filters=...)`` can skip buckets the
+        filter provably excludes while always scanning buckets that changed
+        since the ANALYZE (stale stats can never drop rows).
         """
         snap = self.snapshot()
         schema = T.StructType.fromJson(snap["schema"])
@@ -875,7 +988,7 @@ class SnapshotTable:
             if (columns is None or f.name in columns)
             and isinstance(f.dataType, atomic) and f.name != DELETED_COL
         ]
-        df = self.read()
+        df = self.bucket_of(self.read())
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in names:
             aggs += [
@@ -884,27 +997,59 @@ class SnapshotTable:
                 F.min(c).alias(f"min__{c}"),
                 F.max(c).alias(f"max__{c}"),
             ]
-        row = df.agg(*aggs).first().asDict()
+        # rollup = per-bucket groups + one grand-total group, single pass
+        # (unlike groupBy().agg, rollup on an EMPTY table emits no rows at
+        # all — not even the grand total — so an empty table yields zeros)
+        rows = df.rollup(BUCKET_COL).agg(*aggs).collect()
 
         def _j(v):  # JSON-safe rendering for snapshot storage
             return v if v is None or isinstance(v, (int, float, bool, str)) \
                 else str(v)
 
+        total = next(
+            (r.asDict() for r in rows if r[BUCKET_COL] is None),
+            {"__rows": 0, **{f"{p}__{c}": 0 if p in ("n", "card") else None
+                             for c in names for p in ("n", "card", "min",
+                                                      "max")}},
+        )
         stats = {
-            "rows": int(row["__rows"]),
+            "rows": int(total["__rows"]),
             "snapshot_version": snap["version"],
             "ts_ms": int(time.time() * 1000),
             "columns": {
                 c: {
-                    "count": int(row[f"n__{c}"]),
-                    "null_count": int(row["__rows"]) - int(row[f"n__{c}"]),
-                    "cardinality": int(row[f"card__{c}"]),
-                    "min": _j(row[f"min__{c}"]),
-                    "max": _j(row[f"max__{c}"]),
+                    "count": int(total[f"n__{c}"]),
+                    "null_count": int(total["__rows"]) - int(total[f"n__{c}"]),
+                    "cardinality": int(total[f"card__{c}"]),
+                    "min": _j(total[f"min__{c}"]),
+                    "max": _j(total[f"max__{c}"]),
                 }
                 for c in names
             },
         }
+        buckets = {
+            str(r[BUCKET_COL]): {
+                "fingerprint": self._bucket_fingerprint(
+                    snap, str(r[BUCKET_COL])),
+                "rows": int(r[f"__rows"]),
+                "cols": {
+                    c: {
+                        "count": int(r[f"n__{c}"]),
+                        "min": _j(r[f"min__{c}"]),
+                        "max": _j(r[f"max__{c}"]),
+                    }
+                    for c in names
+                },
+            }
+            for r in (r.asDict() for r in rows) if r[BUCKET_COL] is not None
+        }
+        stats_rel = f"stats/v{snap['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(self.location, stats_rel), exist_ok=True)
+        with open(os.path.join(self.location, stats_rel,
+                               "bucket_stats.json"), "w") as f:
+            json.dump({"snapshot_version": snap["version"],
+                       "columns": names, "buckets": buckets}, f)
+        stats["bucket_stats_dir"] = stats_rel
         # metadata-only commit: trivially rebased onto whatever snapshot is
         # current if a writer races us (stats stay stamped with the version
         # they were measured against)

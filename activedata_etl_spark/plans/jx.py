@@ -918,11 +918,61 @@ def _agg_col(sel: dict, env: dict | None = None) -> Column:
     return _AGGS[agg](v).alias(name)
 
 
-def _resolve_from(src, frames: dict[str, DataFrame]) -> DataFrame:
+_ZONE_OP = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+
+
+def _scalar(v) -> bool:
+    return isinstance(v, (int, float, str)) and not isinstance(v, bool)
+
+
+def _zone_filters(where) -> list[tuple]:
+    """Conjunctive ``(col, op, literal)`` predicates implied by a jx
+    ``where`` clause — the subset a lake zone map can act on
+    (``SnapshotTable.prunable_buckets``).  Conservative by design: only
+    AND-reachable branches, plain top-level column names (no dotted paths,
+    which may drill into nested arrays), scalar literals.  Missing a
+    predicate only costs pruning opportunity, never correctness — the full
+    ``where`` still runs on the rows."""
+    out: list[tuple] = []
+    if not isinstance(where, dict) or len(where) != 1:
+        return out
+    ((op, args),) = where.items()
+    if op == "and" and isinstance(args, list):
+        for a in args:
+            out.extend(_zone_filters(a))
+    elif op == "eq" and isinstance(args, dict):
+        for k, v in args.items():
+            if "." not in k and _scalar(v):
+                out.append((k, "==", v))
+    elif op in _ZONE_OP and isinstance(args, dict) and len(args) == 1:
+        ((k, v),) = args.items()
+        if "." not in k and _scalar(v):
+            out.append((k, _ZONE_OP[op], v))
+    elif op == "range" and isinstance(args, dict) and len(args) == 1:
+        ((k, comparisons),) = args.items()
+        if "." not in k and isinstance(comparisons, dict):
+            for cmp_op, v in comparisons.items():
+                if cmp_op in _ZONE_OP and _scalar(v):
+                    out.append((k, _ZONE_OP[cmp_op], v))
+    elif op == "between" and isinstance(args, dict) and len(args) == 1:
+        ((k, v),) = args.items()
+        if ("." not in k and isinstance(v, (list, tuple)) and len(v) == 2
+                and _scalar(v[0]) and _scalar(v[1])):
+            out += [(k, ">=", v[0]), (k, "<=", v[1])]
+    return out
+
+
+def _resolve_from(
+    src, frames: dict[str, DataFrame], where=None
+) -> DataFrame:
     """``from`` resolution: a registered frame name, a nested sub-query, or
     ``lake:<path>`` — a SnapshotTable location read at its current snapshot
     (time travel via ``lake:<path>@<version>``), connecting the query layer
-    to the CDC lake the replay pipeline maintains."""
+    to the CDC lake the replay pipeline maintains.
+
+    For lake sources the query's ``where`` clause (when given) is mined for
+    simple conjunctive predicates and passed to ``read(filters=...)`` so the
+    scan opens only the buckets the table's zone maps cannot exclude."""
     if not isinstance(src, str):
         return run(src, frames)
     if src in frames:
@@ -937,7 +987,8 @@ def _resolve_from(src, frames: dict[str, DataFrame]) -> DataFrame:
             raise RuntimeError("no active SparkSession for a lake: source")
         loc, _, ver = src[5:].partition("@")
         return SnapshotTable(spark, loc).read(
-            version=int(ver) if ver else None
+            version=int(ver) if ver else None,
+            filters=_zone_filters(where) or None,
         )
     raise KeyError(
         f"unknown from: {src!r} — not a registered frame "
@@ -947,7 +998,7 @@ def _resolve_from(src, frames: dict[str, DataFrame]) -> DataFrame:
 
 def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
     """Execute a jx-lite query over named DataFrames (jx.run analog)."""
-    df = _resolve_from(query["from"], frames)
+    df = _resolve_from(query["from"], frames, where=query.get("where"))
 
     # nested-array dives: auto-explode along referenced paths
     refs: set[str] = set()

@@ -358,6 +358,41 @@ def test_jx_queries_lake_table(spark, tmp_path):
         run({"from": "nope", "select": ["x"]}, {})
 
 
+def test_jx_lake_query_uses_zone_map_pruning(spark, tmp_path):
+    """A jx where over a lake: source is mined for conjunctive scalar
+    predicates and pushed into read(filters=...): after ANALYZE, the scan
+    opens only buckets the zone maps cannot exclude — same rows, fewer
+    buckets (asserted via prunable_buckets)."""
+    from activedata_etl_spark.plans.jx import _zone_filters, run
+
+    # extraction: AND-reachable eq/range/cmp/between on plain columns only
+    assert _zone_filters({"and": [
+        {"eq": {"repo": "r", "deep.path": "x"}},
+        {"gt": {"commit_seq": 3}},
+        {"range": {"offset": {"gte": 1, "lt": 9}}},
+        {"between": {"offset": [2, 5]}},
+        {"or": [{"eq": {"repo": "q"}}]},   # disjunction: not extractable
+        {"eq": {"flag": True}},            # bool literal: skipped
+    ]}) == [("repo", "==", "r"), ("commit_seq", ">", 3),
+            ("offset", ">=", 1), ("offset", "<", 9),
+            ("offset", ">=", 2), ("offset", "<=", 5)]
+
+    loc = str(tmp_path / "lake_jx_zone")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"V{i}", None)
+        for i in range(32)
+    ]
+    t = _mk(spark, loc, rows=rows, n_buckets=8)
+    t.analyze()
+    # commit_seq=31 is the global max: every bucket except the one holding
+    # it has max < 31, so the zone maps exclude exactly 7 of 8 buckets
+    q = {"from": f"lake:{loc}", "select": ["path", "content"],
+         "where": {"gte": {"commit_seq": 31}}, "limit": None}
+    assert [(r["path"], r["content"]) for r in run(q, {}).collect()] \
+        == [("f31.py", "V31")]
+    assert len(t.prunable_buckets(_zone_filters(q["where"]))) == 1
+
+
 def test_repair_range_restores_lost_rows_without_moving_fence(spark, tmp_path):
     """repair_range re-applies committed chunks through the versioned merge:
     physically lost rows come back, the batch fence and watermarks stay

@@ -496,6 +496,107 @@ def test_analyze_column_stats(spark, tmp_path):
     assert table.read().count() == 30
 
 
+def test_zone_map_bucket_pruning(spark, tmp_path):
+    """ANALYZE records per-bucket min/max zone maps in a stats side file;
+    read(filters=...) opens only buckets the zone maps cannot exclude and
+    returns EXACTLY the filtered rows (Iceberg manifest-bounds analog)."""
+    import json
+    import os
+
+    loc = str(tmp_path / "lake_zone")
+    table = _mk_base(spark, loc, n=64, n_buckets=16)
+    stats = table.analyze()
+    rel = stats["bucket_stats_dir"]
+    with open(os.path.join(loc, rel, "bucket_stats.json")) as f:
+        zone = json.load(f)
+    snap = table.snapshot()
+    assert set(zone["buckets"]) == set(snap["bucket_dirs"])
+    assert all("commit_seq" in b["cols"] for b in zone["buckets"].values())
+    # a point-ish predicate on a non-key column: most buckets are excluded
+    filt = [("commit_seq", "==", 7)]
+    keep = table.prunable_buckets(filt)
+    assert 1 <= len(keep) < len(snap["bucket_dirs"])
+    got = table.read(filters=filt).collect()
+    want = table.read().where(F.col("commit_seq") == 7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # range predicates compose conjunctively
+    filt2 = [("commit_seq", ">=", 60), ("repo", "==", "r")]
+    assert (table.read(filters=filt2).count()
+            == table.read().where("commit_seq >= 60 and repo = 'r'").count()
+            == 4)
+    # an impossible predicate prunes everything driver-side
+    assert table.prunable_buckets([("commit_seq", ">", 10_000)]) == []
+    assert table.read(filters=[("commit_seq", ">", 10_000)]).count() == 0
+    # unknown column / cross-type value: cannot exclude, full scan
+    assert len(table.prunable_buckets([("nope", "==", 1)])) \
+        == len(snap["bucket_dirs"])
+    assert len(table.prunable_buckets([("repo", "==", 5)])) \
+        == len(snap["bucket_dirs"])
+
+
+def test_zone_map_stale_stats_never_drop_rows(spark, tmp_path):
+    """Buckets written AFTER the ANALYZE carry a changed fingerprint and are
+    always scanned — stale zone maps can only cost pruning opportunity,
+    never rows."""
+    loc = str(tmp_path / "lake_zone_stale")
+    table = _mk_base(spark, loc, n=64, n_buckets=16)
+    table.analyze()
+    # new batch: one key gets commit_seq far outside every analyzed zone
+    up = spark.createDataFrame(
+        [(0, 64, 9_999, "update", "r", "f3.py", "c" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(up), 1)
+    filt = [("commit_seq", ">=", 9_000)]
+    got = table.read(filters=filt).collect()
+    assert len(got) == 1 and got[0]["content"] == "NEW"
+    # the touched bucket is kept via fingerprint mismatch; the others are
+    # still pruned by the (valid) old stats
+    keep = table.prunable_buckets(filt)
+    assert len(keep) >= 1
+    assert len(keep) < len(table.snapshot()["bucket_dirs"])
+    # re-analyze restores full pruning precision
+    table.analyze()
+    keep2 = table.prunable_buckets(filt)
+    assert len(keep2) <= len(keep)
+    assert table.read(filters=filt).count() == 1
+
+
+def test_analyze_empty_table(spark, tmp_path):
+    """ANALYZE on a created-but-empty table: rollup emits no grand-total
+    row on empty input, so the stats must synthesize zeros (regression:
+    StopIteration when an analyzer raced table creation)."""
+    loc = str(tmp_path / "lake_empty_stats")
+    b0 = spark.createDataFrame([], COLS_V1)
+    table = ensure_table(spark, loc, b0.schema, n_buckets=4)
+    stats = table.analyze()
+    assert stats["rows"] == 0
+    assert stats["columns"]["repo"]["cardinality"] == 0
+    assert table.prunable_buckets([("commit_seq", "==", 1)]) == []
+
+
+def test_zone_map_stats_dir_lifecycle(spark, tmp_path):
+    """A superseded ANALYZE's stats dir expires with the snapshots that
+    reference it; the current one survives expire_snapshots."""
+    import os
+
+    loc = str(tmp_path / "lake_zone_gc")
+    table = _mk_base(spark, loc, n=16, n_buckets=4)
+    rel_old = table.analyze()["bucket_stats_dir"]
+    up = spark.createDataFrame(
+        [(0, 16, 100, "update", "r", "f1.py", "c" * 12, None, "Z", None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(up), 1)
+    rel_new = table.analyze()["bucket_stats_dir"]
+    assert rel_old != rel_new
+    removed = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert rel_old in removed
+    assert os.path.exists(os.path.join(loc, rel_new, "bucket_stats.json"))
+    # pruning still works off the surviving stats
+    assert table.read(filters=[("commit_seq", ">=", 100)]).count() == 1
+
+
 def test_time_travel_read(spark, tmp_path):
     """Snapshot isolation as an API: read(version=v) reproduces snapshot v
     exactly — file lists and SCHEMA — regardless of later commits (until
