@@ -822,6 +822,94 @@ class SnapshotTable:
             return None
         return self.compact(drop_tombstones=drop_tombstones, buckets=hot)
 
+    def rebucket(
+        self,
+        n_buckets: int | None = None,
+        *,
+        target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+        max_retries: int = 3,
+    ) -> int:
+        """Layout evolution: rewrite the whole table under a NEW bucket
+        count (Iceberg partition-spec-evolution analog, resolved by full
+        rewrite).  A table created at 10^7 rows with 64 buckets that grows
+        to 10^10 rows has ~150M-row buckets — every CoW rewrite giant,
+        every point lookup a huge scan; ``rebucket`` restores the
+        ~``target_bucket_bytes``-per-bucket invariant the creation-time
+        ``suggest_n_buckets`` established.
+
+        ``n_buckets=None`` auto-sizes from the CURRENT table: row count
+        from snapshot metadata (no job), average row bytes measured from
+        the live data dirs (driver-side walk), fed through
+        ``suggest_n_buckets``.  Returns the current version unchanged when
+        the suggestion equals the existing layout.
+
+        The rewrite is one shuffle: ``repartition(n_new, *key_cols)`` uses
+        Spark's HashPartitioning — ``pmod(murmur3(keys), n_new)``, the SAME
+        formula as the bucket id — so every output partition holds exactly
+        one new bucket and the partitioned write emits one file per bucket
+        with no second shuffle.  MOR-lite deltas are folded (``read`` LWW-
+        merges them); tombstones are PRESERVED (the out-of-order horizon
+        may not have passed — drop them later via ``compact``).
+
+        Concurrency: a rebucket invalidates every bucket pointer at once,
+        so unlike ``compact`` there is no per-bucket rebase — if any DATA
+        commit (ingest, compact, rewrite) lands between the pinned read and
+        the commit, the whole rewrite recomputes against the winner.
+        Metadata-only commits (analyze, schema) rebase for free.  Old zone
+        maps self-invalidate: their fingerprints reference the replaced
+        dirs, so ``prunable_buckets`` scans everything until the next
+        ``analyze``.
+        """
+        snap0 = self.snapshot()
+        if n_buckets is None:
+            rows = self.base_row_count() or 0
+            live = set(snap0["bucket_dirs"].values())
+            for rels in snap0.get("delta_dirs", {}).values():
+                live.update(rels)
+            total_bytes = sum(self.dir_bytes(d) for d in live)
+            n_buckets = suggest_n_buckets(
+                rows,
+                avg_row_bytes=max(1, total_bytes // max(1, rows)),
+                target_bucket_bytes=target_bucket_bytes,
+            )
+        if n_buckets == snap0["n_buckets"]:
+            return snap0["version"]
+        keys = snap0["key_cols"]
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            pinned = snap["version"]
+            df = self.read(include_tombstones=True, version=pinned)
+            if DELETED_COL not in df.columns:
+                df = df.withColumn(DELETED_COL, F.lit(False))
+            df = df.repartition(n_buckets, *[F.col(c) for c in keys]) \
+                   .withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+            rel = self.write_buckets(df, pinned + 1)
+            written = self.written_bucket_rows(rel)
+            fresh = self.snapshot()
+            if (fresh["bucket_dirs"] != snap["bucket_dirs"]
+                    or fresh.get("delta_dirs", {})
+                    != snap.get("delta_dirs", {})):
+                continue  # concurrent data commit: recompute from winner
+            new = dict(fresh)
+            new["version"] = fresh["version"] + 1
+            new["parent"] = fresh["version"]
+            new["ts_ms"] = int(time.time() * 1000)
+            new["n_buckets"] = int(n_buckets)
+            new["bucket_dirs"] = {b: rel for b in written}
+            new["bucket_rows"] = dict(written)
+            new["delta_dirs"] = {}
+            new["dir_versions"] = {rel: new["version"]}
+            try:
+                self._commit_snapshot(new)
+                return new["version"]
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"rebucket at {self.location} lost {max_retries} consecutive "
+            f"races against concurrent writers; retry when the burst "
+            f"subsides"
+        )
+
     def update_where(self, condition, set_exprs: dict, max_retries: int = 5) -> int:
         """UPDATE ... SET ... WHERE — the reference's in-place update
         (`ListContainer.update({"set","clear","where"})`,

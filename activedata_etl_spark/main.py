@@ -92,6 +92,16 @@ def _parser() -> argparse.ArgumentParser:
                            help="comma-separated columns to order within "
                                 "each bucket (row-group skipping)")
 
+    rb = sub.add_parser("rebucket", help="rewrite the table under a new "
+                                         "bucket count (layout evolution "
+                                         "for grown tables)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--n-buckets", type=int, default=None,
+                    help="explicit new count; omit to auto-size from "
+                         "measured table bytes")
+    rb.add_argument("--target-bucket-mb", type=int, default=250,
+                    help="auto-size target per bucket (MB)")
+
     q = sub.add_parser("query", help="run a jx query (the reference's "
                                      "query-service surface)")
     q.add_argument("--jx", default=None,
@@ -203,6 +213,14 @@ def main(argv: list[str] | None = None) -> None:
         from activedata_etl_spark.lake.table import SnapshotTable
 
         print(json.dumps(SnapshotTable(spark, args.table).analyze()))
+    elif args.cmd == "rebucket":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table)
+        v = t.rebucket(args.n_buckets,
+                       target_bucket_bytes=args.target_bucket_mb << 20)
+        print(json.dumps({"version": v,
+                          "n_buckets": t.snapshot()["n_buckets"]}))
     elif args.cmd == "verify":
         from activedata_etl_spark.journal import expected_state_df, read_journal
         from activedata_etl_spark.lake.table import SnapshotTable

@@ -562,6 +562,89 @@ def test_zone_map_stale_stats_never_drop_rows(spark, tmp_path):
     assert table.read(filters=filt).count() == 1
 
 
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """rebucket() rewrites the table under a new bucket count: deltas
+    folded, tombstones preserved, lookup and ingest work under the new
+    layout, stale zone maps self-invalidate (Iceberg partition-spec
+    evolution analog, resolved by full rewrite)."""
+    loc = str(tmp_path / "lake_rebucket")
+    table = _mk_base(spark, loc, n=40, n_buckets=4)
+    table.analyze()                       # zone maps against the OLD layout
+    dele = spark.createDataFrame(
+        [(0, 40, 100, "delete", "r", "f1.py", "c" * 12, None, None, None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(dele), 1, merge_mode="delta")
+    before = sorted((r["path"], r["content"])
+                    for r in table.read().collect())
+    assert len(before) == 39
+
+    v = table.rebucket(16)
+    snap = table.snapshot()
+    assert snap["version"] == v and snap["n_buckets"] == 16
+    assert snap["delta_dirs"] == {} and len(snap["bucket_dirs"]) <= 16
+    after = sorted((r["path"], r["content"]) for r in table.read().collect())
+    assert after == before
+    # the tombstone survived the rewrite (horizon may not have passed)
+    assert table.read(include_tombstones=True).count() == 40
+    # stale zone maps (old dirs in fingerprints) must not prune anything
+    keep = table.prunable_buckets([("commit_seq", ">", 10_000)])
+    assert keep is None or len(keep) == len(snap["bucket_dirs"])
+    # point lookup under the new layout
+    assert table.lookup({"repo": "r", "path": "f3.py"}).count() == 1
+    # ingest continues against the new layout
+    up = spark.createDataFrame(
+        [(0, 41, 101, "update", "r", "f2.py", "c" * 12, None, "REB", None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(up), 2)
+    got = table.lookup({"repo": "r", "path": "f2.py"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "REB"
+    # same count -> clean no-op
+    v2 = table.snapshot()["version"]
+    assert table.rebucket(table.snapshot()["n_buckets"]) == v2
+    # fresh ANALYZE restores pruning precision on the new layout
+    table.analyze()
+    assert table.prunable_buckets([("commit_seq", ">", 10_000)]) == []
+
+
+def test_rebucket_autosize_and_conflict_recompute(spark, tmp_path):
+    """n_buckets=None sizes from measured table bytes; a data commit racing
+    the rewrite forces a recompute that still converges byte-exactly."""
+    loc = str(tmp_path / "lake_rebucket_auto")
+    table = _mk_base(spark, loc, n=32, n_buckets=8)
+    # tiny target forces growth beyond min_buckets=8
+    v = table.rebucket(target_bucket_bytes=64)
+    snap = table.snapshot()
+    assert snap["n_buckets"] > 8 and snap["version"] == v
+    assert table.read().count() == 32
+    # race: another writer lands a batch between the pinned read and the
+    # commit — simulate by committing through a second handle mid-flight
+    import activedata_etl_spark.lake.table as tbl
+
+    other = SnapshotTable(table.spark, loc)
+    orig = tbl.SnapshotTable.write_buckets
+    hit = {"n": 0}
+
+    def racing_write(self, df, version, sort_by=None):
+        rel = orig(self, df, version, sort_by=sort_by)
+        if self is table and hit["n"] == 0:
+            hit["n"] = 1
+            up = table.spark.createDataFrame(
+                [(0, 32, 500, "update", "r", "f0.py", "c" * 12, None,
+                  "RACE", None)], COLS_V1)
+            apply_batch(other, _norm(up), 1)
+        return rel
+
+    import unittest.mock as mock
+    with mock.patch.object(tbl.SnapshotTable, "write_buckets", racing_write):
+        table.rebucket(4)
+    snap = table.snapshot()
+    assert snap["n_buckets"] == 4 and hit["n"] == 1
+    got = table.lookup({"repo": "r", "path": "f0.py"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "RACE"
+
+
 def test_analyze_empty_table(spark, tmp_path):
     """ANALYZE on a created-but-empty table: rollup emits no grand-total
     row on empty input, so the stats must synthesize zeros (regression:

@@ -415,6 +415,12 @@ def test_cli_replay_analyze_compact(spark, tmp_path, capsys):
     v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(v["compacted_to_version"], int)
 
+    n0 = SnapshotTable(spark, loc).read().count()
+    cli(["rebucket", "--table", loc, "--n-buckets", "16"])
+    rb = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rb["n_buckets"] == 16
+    assert SnapshotTable(spark, loc).read().count() == n0
+
     # distributed convergence audit: replayed table == journal's LWW state
     cli(["verify", "--journal", jd, "--table", loc])
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
