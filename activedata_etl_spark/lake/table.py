@@ -910,6 +910,43 @@ class SnapshotTable:
             f"subsides"
         )
 
+    def maybe_rebucket(
+        self,
+        *,
+        growth_factor: float = 4.0,
+        target_bucket_bytes: int = TARGET_BUCKET_BYTES,
+    ) -> int | None:
+        """Steady-state layout hook, the `maybe_compact` complement: rebucket
+        ONLY when the layout has drifted at least ``growth_factor`` from the
+        per-bucket target — the auto-sized suggestion is >= current x factor
+        (table grew ~2 doublings past its layout) or <= current / factor
+        (mass deletes + compaction shrank it).  The hysteresis band makes the
+        check free to call after every ingest burst: a full-table rewrite
+        happens at most once per ~log_factor(growth) epochs, never per batch.
+        Decision inputs are all driver-side (snapshot row counts + a
+        filesystem walk for bytes) — no Spark job unless a rewrite fires.
+        Returns the new version, or None when the layout is within band.
+        """
+        snap = self.snapshot()
+        rows = self.base_row_count() or 0
+        live = set(snap["bucket_dirs"].values())
+        for rels in snap.get("delta_dirs", {}).values():
+            live.update(rels)
+        if not live or rows == 0:
+            return None
+        total_bytes = sum(self.dir_bytes(d) for d in live)
+        suggested = suggest_n_buckets(
+            rows,
+            avg_row_bytes=max(1, total_bytes // max(1, rows)),
+            target_bucket_bytes=target_bucket_bytes,
+        )
+        cur = snap["n_buckets"]
+        if cur / growth_factor < suggested < cur * growth_factor:
+            return None
+        return self.rebucket(
+            suggested, target_bucket_bytes=target_bucket_bytes
+        )
+
     def update_where(self, condition, set_exprs: dict, max_retries: int = 5) -> int:
         """UPDATE ... SET ... WHERE — the reference's in-place update
         (`ListContainer.update({"set","clear","where"})`,

@@ -101,6 +101,10 @@ def _parser() -> argparse.ArgumentParser:
                          "measured table bytes")
     rb.add_argument("--target-bucket-mb", type=int, default=250,
                     help="auto-size target per bucket (MB)")
+    rb.add_argument("--if-grown", action="store_true",
+                    help="only rewrite when the layout drifted >=4x from "
+                         "the per-bucket target (maybe_rebucket hysteresis "
+                         "band); cheap no-op otherwise")
 
     q = sub.add_parser("query", help="run a jx query (the reference's "
                                      "query-service surface)")
@@ -217,9 +221,14 @@ def main(argv: list[str] | None = None) -> None:
         from activedata_etl_spark.lake.table import SnapshotTable
 
         t = SnapshotTable(spark, args.table)
-        v = t.rebucket(args.n_buckets,
-                       target_bucket_bytes=args.target_bucket_mb << 20)
+        if args.if_grown:
+            v = t.maybe_rebucket(
+                target_bucket_bytes=args.target_bucket_mb << 20)
+        else:
+            v = t.rebucket(args.n_buckets,
+                           target_bucket_bytes=args.target_bucket_mb << 20)
         print(json.dumps({"version": v,
+                          "rebucketed": v is not None,
                           "n_buckets": t.snapshot()["n_buckets"]}))
     elif args.cmd == "verify":
         from activedata_etl_spark.journal import expected_state_df, read_journal

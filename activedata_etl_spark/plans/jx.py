@@ -67,7 +67,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
-DEFAULT_LIMIT = 10_000  # jx default is 10; keep results useful for tests
+# Reference parity (jx_base/query.py:29-30): a query with NO limit clause
+# returns 10 rows, exactly like the reference's query service.  MAX_LIMIT
+# clamps the presentation layer (run_formatted / the CLI `query` command —
+# the analog of the reference's HTTP service, where QueryOp.wrap applies
+# min(MAX_LIMIT, ...)); the programmatic run() honors any explicit numeric
+# limit unclamped and treats an explicit ``"limit": None`` as unbounded —
+# an engine extension: run() returns a distributed DataFrame, so there is
+# no driver-memory reason to cap a deliberate full-result request.
+DEFAULT_LIMIT = 10
+MAX_LIMIT = 10_000
 
 _AGGS = {
     "count": F.count,
@@ -1159,7 +1168,8 @@ def run_formatted(query: dict, frames: dict[str, DataFrame]) -> dict:
     the reference returns JSON to its HTTP caller — never part of a plan.
     """
     fmt = query.get("format", "list")
-    if query.get("limit", DEFAULT_LIMIT) is None:
+    limit = query.get("limit", DEFAULT_LIMIT)
+    if limit is None:
         # this function collect()s to the driver to render the payload; an
         # explicit limit=None would collect an unbounded distributed result.
         # run() itself honors limit=None (it returns a DataFrame); only the
@@ -1169,7 +1179,10 @@ def run_formatted(query: dict, frames: dict[str, DataFrame]) -> dict:
             "set an explicit row limit, or use run() and keep the result "
             "distributed"
         )
-    df = run(query, frames)
+    # service-layer clamp (QueryOp.wrap: min(MAX_LIMIT, ...),
+    # jx_base/query.py:213) — the driver-side payload is bounded no matter
+    # what the caller asks for, exactly like the reference's HTTP service
+    df = run({**query, "limit": min(int(limit), MAX_LIMIT)}, frames)
     cols = df.columns
     rows = [r.asDict(recursive=True) for r in df.collect()]
     if fmt == "table":

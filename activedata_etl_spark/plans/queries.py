@@ -592,7 +592,7 @@ def q24_window_percentile(spark: SparkSession, sf: str) -> DataFrame:
             "select": ["user_id", "event_id",
                        {"name": "p50r", "value": {"script": "round(p50, 6)"}}],
             "sort": ["user_id", "event_id"],
-            "limit": 10_000_000,
+            "limit": None,  # engine extension: unbounded (result stays a DataFrame)
         },
         {"t": e},
     )
@@ -623,6 +623,7 @@ def q25_edges_dense_set(spark: SparkSession, sf: str) -> DataFrame:
                                                  "refund", "view"]}}],
             "select": [{"name": "n", "aggregate": "count"},
                        {"name": "tv", "value": "value", "aggregate": "sum"}],
+            "limit": None,  # engine extension: unbounded (result stays a DataFrame)
         },
         {"t": e},
     )
@@ -668,7 +669,7 @@ def q26_nested_dive(spark: SparkSession, sf: str) -> DataFrame:
                        {"name": "qty", "value": "items.l_quantity"},
                        {"name": "flag", "value": "items.l_returnflag"}],
             "sort": ["orderkey", "linenumber"],
-            "limit": 10_000_000,
+            "limit": None,  # engine extension: unbounded (result stays a DataFrame)
         },
         {"t": nested},
     )
@@ -718,6 +719,7 @@ def q28_edges_dense_time(spark: SparkSession, sf: str) -> DataFrame:
                                   "min": "2024-01-01", "max": "2024-04-01"}}],
             "select": {"name": "n", "aggregate": "count"},
             "sort": "month",
+            "limit": None,  # engine extension: unbounded (result stays a DataFrame)
         },
         {"t": e},
     )
@@ -844,6 +846,7 @@ def q31_calendar_duration_edge(spark: SparkSession, sf: str) -> DataFrame:
                                   "min": "2023-11-01", "max": "2024-05-01"}}],
             "select": [{"name": "n", "aggregate": "count"},
                        {"name": "sv", "value": "value", "aggregate": "sum"}],
+            "limit": None,  # engine extension: unbounded (result stays a DataFrame)
         },
         {"t": e},
     )

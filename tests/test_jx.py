@@ -1027,3 +1027,34 @@ def test_jx_query_over_converged_lake_table(spark, tmp_path):
     }
     assert got == expect
     assert "repo_hot" in got  # skewed hot repo survived the replay
+
+
+def test_default_limit_reference_parity(spark, frames):
+    """The SHIPPED default limit is the reference's DEFAULT_LIMIT=10
+    (jx_base/query.py:29): a query with no limit clause returns 10 rows.
+    run_formatted clamps any explicit numeric limit to MAX_LIMIT=10_000
+    (QueryOp.wrap min(MAX_LIMIT, ...), query.py:213); run() honors explicit
+    limits unclamped (engine extension — the result stays distributed)."""
+    big = {"t": spark.range(25_000).toDF("i")}
+    old = jx.DEFAULT_LIMIT
+    jx.DEFAULT_LIMIT = 10  # the shipped value (conftest raises it suite-wide)
+    try:
+        assert jx.MAX_LIMIT == 10_000
+        assert jx.run({"from": "t", "select": ["i"]}, big).count() == 10
+        # explicit numeric limit: unclamped in the programmatic layer
+        assert jx.run(
+            {"from": "t", "select": ["i"], "limit": 12_000}, big
+        ).count() == 12_000
+        # explicit None: unbounded DataFrame (engine extension)
+        assert jx.run(
+            {"from": "t", "select": ["i"], "limit": None}, big
+        ).count() == 25_000
+        # presentation layer: no limit -> 10 rows; big limit -> clamped
+        out = jx.run_formatted({"from": "t", "select": ["i"]}, big)
+        assert len(out["data"]) == 10
+        out = jx.run_formatted(
+            {"from": "t", "select": ["i"], "limit": 12_000}, big
+        )
+        assert len(out["data"]) == 10_000
+    finally:
+        jx.DEFAULT_LIMIT = old

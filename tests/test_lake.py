@@ -645,6 +645,28 @@ def test_rebucket_autosize_and_conflict_recompute(spark, tmp_path):
     assert len(got) == 1 and got[0]["content"] == "RACE"
 
 
+def test_maybe_rebucket_hysteresis(spark, tmp_path):
+    """maybe_rebucket fires only outside the 4x drift band: a layout within
+    band is a driver-side no-op (None, version unchanged); a drifted one
+    rewrites to the auto-sized suggestion."""
+    loc = str(tmp_path / "lake_maybe_rebucket")
+    table = _mk_base(spark, loc, n=32, n_buckets=8)
+    v0 = table.snapshot()["version"]
+    # default 250MB target on a KB-scale table suggests min_buckets=8 ==
+    # current -> within band, no-op
+    assert table.maybe_rebucket() is None
+    assert table.snapshot()["version"] == v0
+    # a tiny per-bucket target makes the suggestion >> 8*4 -> fires
+    v = table.maybe_rebucket(target_bucket_bytes=64)
+    snap = table.snapshot()
+    assert v == snap["version"] and snap["n_buckets"] >= 32
+    assert table.read().count() == 32
+    # and the new layout is now within band for that target? not necessarily
+    # (suggestion is deterministic) — but repeating with the SAME target must
+    # no-op: suggestion equals the just-applied layout
+    assert table.maybe_rebucket(target_bucket_bytes=64) is None
+
+
 def test_analyze_empty_table(spark, tmp_path):
     """ANALYZE on a created-but-empty table: rollup emits no grand-total
     row on empty input, so the stats must synthesize zeros (regression:
