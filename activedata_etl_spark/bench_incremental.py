@@ -43,7 +43,18 @@ def main() -> None:
 
     spark = get_spark(f"bench_inc_{mode}", parallelism=par, shuffle_partitions=32)
     journal = read_journal(spark, journal_dir)
-    partitions = journal_metadata(journal_dir, spark)["partitions"]
+    meta = journal_metadata(journal_dir, spark)
+    partitions = meta["partitions"]
+    need = base_events + inc_events * inc_batches
+    if meta["max_offset"] + 1 < need:
+        # empty offset ranges would silently measure nothing and report
+        # nonsense write amplification — refuse instead ("no silent caps")
+        raise SystemExit(
+            f"bench_incremental: journal holds {meta['max_offset'] + 1} "
+            f"events but the protocol needs {need} "
+            f"(base {base_events} + {inc_batches}x{inc_events}); generate a "
+            f"bigger journal or shrink SPARK_GRAFT_BENCH_INC_*"
+        )
 
     # table sized for the key space (~n_events/50 keys, journal.py) — the
     # auto-bucket path keeps bucket count scale-appropriate at any size

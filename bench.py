@@ -146,6 +146,16 @@ def _best(a: dict | None, b: dict) -> dict:
 INC_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_INC_BASE", str(1 << 23)))
 INC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_INC_EVENTS", "4096"))
 INC_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_INC_BATCHES", "8"))
+if N_EVENTS < INC_BASE + INC_EVENTS * INC_BATCHES:
+    # a shrunken sanity run (small SPARK_GRAFT_BENCH_EVENTS) must shrink the
+    # incremental protocol with it — offset ranges beyond the journal would
+    # silently apply nothing and report degenerate write amplification
+    INC_BASE = max(INC_EVENTS, N_EVENTS - INC_EVENTS * INC_BATCHES)
+    print(
+        f"warn: journal ({N_EVENTS} events) smaller than the incremental "
+        f"protocol; shrinking INC_BASE to {INC_BASE}",
+        file=sys.stderr,
+    )
 
 
 def incremental_subprocess(par: str, journal: str, workdir: str, mode: str) -> dict:
