@@ -123,6 +123,21 @@ def _parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--key", action="append", required=True,
                    help="col=value, once per key column")
+
+    ch = sub.add_parser("changes", help="change data feed: row-level diff "
+                                        "between two retained snapshots "
+                                        "(insert/update/delete + image)")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from", dest="from_version", type=int, required=True)
+    ch.add_argument("--to", dest="to_version", type=int, default=None,
+                    help="default: current version")
+    ch.add_argument("--limit", type=int, default=10_000,
+                    help="max rows printed (the feed itself is unbounded; "
+                         "pipe to a parquet write for full exports)")
+    ch.add_argument("--out", default=None,
+                    help="write the FULL feed to this parquet path instead "
+                         "of printing (distributed write, no driver "
+                         "collect; --limit ignored)")
     return p
 
 
@@ -213,6 +228,17 @@ def main(argv: list[str] | None = None) -> None:
         from activedata_etl_spark.lake.table import SnapshotTable
 
         print(json.dumps(SnapshotTable(spark, args.table).history()))
+    elif args.cmd == "changes":
+        from activedata_etl_spark.lake.table import SnapshotTable
+
+        feed = SnapshotTable(spark, args.table).changes(
+            args.from_version, args.to_version)
+        if args.out:
+            feed.write.mode("error").parquet(args.out)
+            print(json.dumps({"written": args.out}))
+        else:
+            rows = [r.asDict() for r in feed.limit(args.limit).collect()]
+            print(json.dumps(rows, default=str))
     elif args.cmd == "analyze":
         from activedata_etl_spark.lake.table import SnapshotTable
 

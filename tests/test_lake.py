@@ -829,3 +829,157 @@ def test_lineage_dirs_consolidate(spark, tmp_path, monkeypatch):
     removed = table.expire_snapshots(keep_last=1)
     assert any(r.startswith("lineage/") for r in removed)
     assert table.read_lineage().where("partition = -1").count() == 7
+
+
+# ---------------------------------------------------------------- changes
+
+def _brute_diff(table, v_from, v_to):
+    """Referee: full-scan diff of two snapshot reads, computed in pandas."""
+    key = lambda r: (r["repo"], r["path"])
+    old = {key(r): r.asDict() for r in table.read(version=v_from).collect()}
+    new = {key(r): r.asDict() for r in table.read(version=v_to).collect()}
+    out = {}
+    for k, row in new.items():
+        if k not in old:
+            out[k] = ("insert", row)
+        elif row != old[k]:
+            out[k] = ("update", row)
+    for k, row in old.items():
+        if k not in new:
+            out[k] = ("delete", row)
+    return out
+
+
+def _feed_dict(feed):
+    return {
+        (r["repo"], r["path"]): (r["_change_type"], r)
+        for r in feed.collect()
+    }
+
+
+def test_changes_feed_net_range_diff(spark, tmp_path):
+    """insert/update/delete each show once; unchanged keys don't appear;
+    intermediate churn nets out (range diff, not per-commit log)."""
+    loc = str(tmp_path / "lake_cdf")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"X{i}", None)
+        for i in range(4)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    table = ensure_table(spark, loc, b0.schema, n_buckets=8)
+    apply_batch(table, _norm(b0), 0)
+    v1 = table.current_version()
+
+    b1 = spark.createDataFrame(
+        [(0, 10, 10, "update", "r", "f1.py", "d" * 12, None, "NEW", None),
+         (0, 11, 11, "delete", "r", "f2.py", "c" * 12, None, None, None),
+         (0, 12, 12, "insert", "r", "f9.py", "e" * 12, None, "X9", None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(b1), 1)
+    # churn that nets out: insert f77 then delete it again
+    b2 = spark.createDataFrame(
+        [(0, 13, 13, "insert", "r", "f77.py", "a" * 12, None, "T", None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(b2), 2)
+    b3 = spark.createDataFrame(
+        [(0, 14, 14, "delete", "r", "f77.py", "a" * 12, None, None, None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(b3), 3)
+    v2 = table.current_version()
+
+    got = _feed_dict(table.changes(v1, v2))
+    assert {k: t for k, (t, _) in got.items()} == {
+        ("r", "f1.py"): "update",
+        ("r", "f2.py"): "delete",
+        ("r", "f9.py"): "insert",
+    }
+    # post-image for update/insert, pre-image for delete
+    assert got[("r", "f1.py")][1]["content"] == "NEW"
+    assert got[("r", "f9.py")][1]["content"] == "X9"
+    assert got[("r", "f2.py")][1]["content"] == "X2"
+    assert all(r["_from_version"] == v1 and r["_to_version"] == v2
+               for _, r in got.values())
+    # matches the brute-force referee exactly (types AND images)
+    brute = _brute_diff(table, v1, v2)
+    assert {k: t for k, (t, _) in got.items()} == \
+           {k: t for k, (t, _) in brute.items()}
+    for k, (_, row) in brute.items():
+        mine = got[k][1].asDict()
+        assert all(mine[c] == row[c] for c in row)
+
+
+def test_changes_feed_bounds_and_identity(spark, tmp_path):
+    loc = str(tmp_path / "lake_cdf2")
+    b0 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None)], COLS_V1
+    )
+    table = ensure_table(spark, loc, b0.schema)
+    apply_batch(table, _norm(b0), 0)
+    v = table.current_version()
+    assert table.changes(v, v).count() == 0  # empty range
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reversed"):
+        table.changes(v, 0)
+    # from the creation snapshot: everything is an insert
+    feed = _feed_dict(table.changes(0, v))
+    assert feed == {("r", "a.py"): ("insert", feed[("r", "a.py")][1])}
+
+
+def test_changes_feed_touched_buckets_and_rebucket(spark, tmp_path):
+    """A 1-key batch leaves changed_buckets at O(batch), and a rebucket in
+    the range degrades loudly to a full diff (None) without wrong rows."""
+    loc = str(tmp_path / "lake_cdf3")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"X{i}", None)
+        for i in range(30)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    table = ensure_table(spark, loc, b0.schema, n_buckets=16)
+    apply_batch(table, _norm(b0), 0)
+    v1 = table.current_version()
+    b1 = spark.createDataFrame(
+        [(0, 50, 50, "update", "r", "f3.py", "d" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(b1), 1)
+    v2 = table.current_version()
+    touched = table.changed_buckets(v1, v2)
+    assert touched is not None and 1 <= len(touched) <= 2
+    assert _feed_dict(table.changes(v1, v2)) == {
+        ("r", "f3.py"): ("update",
+                         _feed_dict(table.changes(v1, v2))[("r", "f3.py")][1]),
+    }
+
+    table.rebucket(4)
+    v3 = table.current_version()
+    assert table.changed_buckets(v1, v3) is None  # ids incomparable
+    got = {k: t for k, (t, _) in _feed_dict(table.changes(v1, v3)).items()}
+    assert got == {("r", "f3.py"): "update"}  # full diff, still exact
+
+
+def test_changes_feed_schema_widening(spark, tmp_path):
+    """A column added between the versions must not turn every old row into
+    an 'update' (old side reads as null in the new schema)."""
+    loc = str(tmp_path / "lake_cdf4")
+    b0 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None),
+         (0, 1, 1, "insert", "r", "b.py", "c" * 12, None, "Y", None)],
+        COLS_V1,
+    )
+    table = ensure_table(spark, loc, b0.schema)
+    apply_batch(table, _norm(b0), 0)
+    v1 = table.current_version()
+    b1 = spark.createDataFrame(
+        [(0, 2, 2, "update", "r", "b.py", "d" * 12, None, "Y2", None,
+          "100644")],
+        COLS_V2,
+    )
+    apply_batch(table, _norm(b1), 1)
+    v2 = table.current_version()
+    got = _feed_dict(table.changes(v1, v2))
+    assert {k: t for k, (t, _) in got.items()} == {("r", "b.py"): "update"}
+    assert got[("r", "b.py")][1]["mode"] == "100644"
+    assert "mode" in table.changes(v1, v2).columns
