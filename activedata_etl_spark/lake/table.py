@@ -691,7 +691,8 @@ class SnapshotTable:
     CHANGE_TYPE_COL = "_change_type"
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int, to_version: int | None = None,
+        *, deletes: str = "preimage",
     ) -> DataFrame:
         """Change data feed: the row-level difference between two retained
         snapshots (Delta-CDF / Iceberg-changelog analog) — what a downstream
@@ -703,7 +704,15 @@ class SnapshotTable:
         - ``_change_type``: ``'insert'`` (key absent-or-deleted at from,
           live at to; post-image), ``'update'`` (live at both, any column
           differs; post-image), ``'delete'`` (live at from, absent-or-
-          tombstoned at to; pre-image).
+          tombstoned at to; pre-image by default).
+
+        ``deletes='tombstone'`` emits the TO-side tombstone row (when it
+        still physically exists) as the delete image instead of the
+        pre-image: the tombstone carries the DELETE's own version columns,
+        which is what a downstream LWW replica needs so the delete WINS
+        against the key's last live version (see
+        :func:`~activedata_etl_spark.lake.merge.sync_changes`).  Keys whose
+        tombstone was compacted away fall back to the pre-image.
         - ``_from_version`` / ``_to_version``: the diffed range.  This is a
           RANGE diff, not a per-commit log: a key updated five times between
           the versions emits one net 'update'; insert-then-delete nets to
@@ -751,29 +760,48 @@ class SnapshotTable:
         # old side aligned to the NEW schema: a column added between the
         # versions reads as null at from_version, so widening alone never
         # reports an update (null <=> null) unless a value actually landed
+        if deletes not in ("preimage", "tombstone"):
+            raise ValueError(
+                f"deletes must be 'preimage' or 'tombstone', got {deletes!r}"
+            )
         old = align_to_schema(
             self.read(buckets=buckets, version=from_version), schema
         ).select(
             *[F.col(k).alias(f"__k_{k}") for k in key_cols],
             F.struct(*[F.col(c) for c in data_cols]).alias("__old"),
         )
-        new = self.read(buckets=buckets, version=v_to).select(
+        # to-side keeps its tombstones visible: a key tombstoned in the
+        # range is a 'delete', and in tombstone mode the tombstone row
+        # itself (fresh version columns) is the emitted image
+        new = self.read(
+            buckets=buckets, version=v_to, include_tombstones=True
+        ).select(
             *key_cols,
             F.struct(*[F.col(c) for c in data_cols]).alias("__new"),
+            F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("__dead"),
         )
         cond = None
         for k in key_cols:
             c = new[k].eqNullSafe(old[f"__k_{k}"])
             cond = c if cond is None else cond & c
         joined = new.join(old, cond, "full_outer")
+        dead = F.coalesce(F.col("__dead"), F.lit(False))
         ctype = (
-            F.when(F.col("__old").isNull(), F.lit("insert"))
-            .when(F.col("__new").isNull(), F.lit("delete"))
-            .when(~F.col("__new").eqNullSafe(F.col("__old")),
+            F.when(F.col("__old").isNull() & ~dead
+                   & F.col("__new").isNotNull(), F.lit("insert"))
+            .when(F.col("__old").isNotNull()
+                  & (F.col("__new").isNull() | dead), F.lit("delete"))
+            .when(F.col("__old").isNotNull() & F.col("__new").isNotNull()
+                  & ~F.col("__new").eqNullSafe(F.col("__old")),
                   F.lit("update"))
-        )  # equal structs -> null -> dropped below
-        img = F.when(F.col("__new").isNull(), F.col("__old")) \
-               .otherwise(F.col("__new"))
+        )  # equal structs / tombstone-of-never-seen -> null -> dropped below
+        del_img = (F.col("__new") if deletes == "tombstone"
+                   else F.col("__old"))
+        img = (
+            F.when(F.col("__new").isNull(), F.col("__old"))
+            .when(dead, F.coalesce(del_img, F.col("__old")))
+            .otherwise(F.col("__new"))
+        )
         return (
             joined
             .select(img.alias("__img"), ctype.alias(self.CHANGE_TYPE_COL))
@@ -1069,6 +1097,28 @@ class SnapshotTable:
             return None
         return self.rebucket(
             suggested, target_bucket_bytes=target_bucket_bytes
+        )
+
+    def set_properties(self, max_retries: int = 5, **props) -> int:
+        """Metadata-only commit updating snapshot ``properties`` (no data
+        files touched; ``changed_buckets`` across it is empty).  Used for
+        small durable cursors — e.g. :func:`~activedata_etl_spark.lake.
+        merge.sync_changes` records how far a replica has consumed its
+        source's change feed.  CAS-retried like every other commit."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            new = dict(snap)
+            new["version"] = snap["version"] + 1
+            new["parent"] = snap["version"]
+            new["ts_ms"] = int(time.time() * 1000)
+            new["properties"] = dict(snap.get("properties", {}), **props)
+            try:
+                self._commit_snapshot(new)
+                return new["version"]
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"set_properties at {self.location} lost {max_retries} commit races"
         )
 
     def update_where(self, condition, set_exprs: dict, max_retries: int = 5) -> int:

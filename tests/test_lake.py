@@ -983,3 +983,83 @@ def test_changes_feed_schema_widening(spark, tmp_path):
     assert {k: t for k, (t, _) in got.items()} == {("r", "b.py"): "update"}
     assert got[("r", "b.py")][1]["mode"] == "100644"
     assert "mode" in table.changes(v1, v2).columns
+
+
+def _rowset(table):
+    cols = [c for c in table.read().columns]
+    return {tuple(r[c] for c in sorted(cols)) for r in table.read().collect()}
+
+
+def test_sync_changes_replica_converges(spark, tmp_path):
+    """CDC-out: a replica fed only by sync_changes converges to the source
+    byte-for-byte, survives re-runs (cursor), and applies deletes."""
+    from activedata_etl_spark.lake.merge import sync_changes
+
+    src_loc = str(tmp_path / "cdf_src")
+    rep_loc = str(tmp_path / "cdf_rep")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"X{i}", None)
+        for i in range(12)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    src = ensure_table(spark, src_loc, b0.schema, n_buckets=8)
+    apply_batch(src, _norm(b0), 0)
+
+    s1 = sync_changes(src, rep_loc)  # creates the replica
+    rep = SnapshotTable(spark, rep_loc)
+    assert s1["applied"] == 12 and _rowset(rep) == _rowset(src)
+
+    # churn: update, delete, insert — sync resumes from the cursor
+    b1 = spark.createDataFrame(
+        [(0, 20, 20, "update", "r", "f1.py", "d" * 12, None, "NEW", None),
+         (0, 21, 21, "delete", "r", "f2.py", "c" * 12, None, None, None),
+         (0, 22, 22, "insert", "r", "f99.py", "e" * 12, None, "X99", None)],
+        COLS_V1,
+    )
+    apply_batch(src, _norm(b1), 1)
+    s2 = sync_changes(src, rep)
+    assert s2["deletes"] == 1
+    assert _rowset(rep) == _rowset(src)
+    assert "f2.py" not in {r["path"] for r in rep.read().collect()}
+
+    # idempotent: nothing new -> no-op, cursor unchanged
+    s3 = sync_changes(src, rep)
+    assert s3 == {"applied": 0, "deletes": 0, "batches": 0,
+                  "synced_version": s2["synced_version"]}
+
+    # replaying an ALREADY-CONSUMED range is harmless (LWW idempotence)
+    s4 = sync_changes(src, rep, from_version=0)
+    assert _rowset(rep) == _rowset(src)
+    # wrong-source guard
+    other = ensure_table(spark, str(tmp_path / "cdf_other"), b0.schema)
+    apply_batch(other, _norm(b0), 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="tracks"):
+        sync_changes(other, rep)
+
+
+def test_sync_changes_one_shot_full_range(spark, tmp_path):
+    """A cold replica syncing the whole history in one call lands on the
+    same state as batch-by-batch consumption."""
+    from activedata_etl_spark.lake.merge import sync_changes
+
+    src_loc = str(tmp_path / "cdf_src2")
+    b0 = spark.createDataFrame(
+        [(0, i, i, "insert", "r", f"g{i}.py", "c" * 12, None, f"A{i}", None)
+         for i in range(6)], COLS_V1)
+    src = ensure_table(spark, src_loc, b0.schema, n_buckets=4)
+    apply_batch(src, _norm(b0), 0)
+    b1 = spark.createDataFrame(
+        [(0, 10, 10, "delete", "r", "g0.py", "c" * 12, None, None, None),
+         (0, 11, 11, "update", "r", "g1.py", "d" * 12, None, "A1v2", None)],
+        COLS_V1)
+    apply_batch(src, _norm(b1), 1)
+
+    rep_loc = str(tmp_path / "cdf_rep2")
+    sync_changes(src, rep_loc)
+    rep = SnapshotTable(spark, rep_loc)
+    assert _rowset(rep) == _rowset(src)
+    # tombstone version columns came from the DELETE, not the pre-image:
+    # a later replay of the INSERT range alone must not resurrect g0.py
+    sync_changes(src, rep, from_version=0, to_version=src.current_version())
+    assert "g0.py" not in {r["path"] for r in rep.read().collect()}
