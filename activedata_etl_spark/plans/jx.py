@@ -978,6 +978,11 @@ def _resolve_from(
     ``lake:<path>`` — a SnapshotTable location read at its current snapshot
     (time travel via ``lake:<path>@<version>``), connecting the query layer
     to the CDC lake the replay pipeline maintains.
+    ``lake:<path>@<v1>..<v2>`` (``..`` for "to current") resolves to the
+    CHANGE DATA FEED between the versions instead of a snapshot — jx
+    queries compose over ``_change_type`` like any other column, so "what
+    got deleted this hour, by repo" is one groupby over a bucket-confined
+    diff (`SnapshotTable.changes`).
 
     For lake sources the query's ``where`` clause (when given) is mined for
     simple conjunctive predicates and passed to ``read(filters=...)`` so the
@@ -995,6 +1000,11 @@ def _resolve_from(
         if spark is None:
             raise RuntimeError("no active SparkSession for a lake: source")
         loc, _, ver = src[5:].partition("@")
+        if ".." in ver:
+            lo, _, hi = ver.partition("..")
+            return SnapshotTable(spark, loc).changes(
+                int(lo), int(hi) if hi else None
+            )
         return SnapshotTable(spark, loc).read(
             version=int(ver) if ver else None,
             filters=_zone_filters(where) or None,
@@ -1027,6 +1037,13 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
     groupby = query.get("groupby")
     edges = query.get("edges")
     window = query.get("window")
+    # reference normalization listwraps a scalar groupby/edges clause
+    # (`vendor/jx_base/query.py` _normalize_groupby/_normalize_edges);
+    # without this a bare string iterates char-by-char below
+    if isinstance(groupby, (str, dict)):
+        groupby = [groupby]
+    if isinstance(edges, (str, dict)):
+        edges = [edges]
 
     if window:
         wins = window if isinstance(window, list) else [window]

@@ -552,3 +552,37 @@ def test_query_cli_runs_jx_over_lake(spark, tmp_path, capsys):
                                "select": [{"name": "n", "aggregate": "count"}]})])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["header"] == ["n"] and out["data"] == [[2]]
+
+
+def test_jx_queries_change_feed(spark, tmp_path):
+    """{"from": "lake:<path>@v1..v2"} resolves to the change data feed, so
+    jx aggregates compose over _change_type like any other column."""
+    from activedata_etl_spark.plans.jx import run
+
+    loc = str(tmp_path / "lake_cdfjx")
+    t = _mk(spark, loc)
+    v1 = t.current_version()
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f0.py", "d" * 12, None, "NEW", None),
+         (0, 101, 101, "delete", "r", "f1.py", "c" * 12, None, None, None)],
+        COLS_V1,
+    )
+    apply_batch(t, _norm(b1), 1)
+    v2 = t.current_version()
+
+    out = run(
+        {"from": f"lake:{loc}@{v1}..{v2}",
+         "groupby": "_change_type",
+         "select": [{"name": "n", "aggregate": "count"}],
+         "sort": "_change_type", "limit": None},
+        {},
+    ).collect()
+    assert [(r["_change_type"], r["n"]) for r in out] == [
+        ("delete", 1), ("update", 1)]
+    # open-ended ..: to current version
+    paths = run(
+        {"from": f"lake:{loc}@{v1}..", "select": ["path", "_change_type"],
+         "where": {"eq": {"_change_type": "delete"}}, "limit": None},
+        {},
+    ).collect()
+    assert [r["path"] for r in paths] == ["f1.py"]

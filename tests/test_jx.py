@@ -60,6 +60,26 @@ def test_groupby_aggregates(frames):
     assert got == [("x", 2, 40.0, 3), ("y", 2, 20.0, 4), ("z", 1, 50.0, 5)]
 
 
+def test_scalar_groupby_and_edges_listwrap(frames):
+    """reference _normalize_groupby/_normalize_edges listwrap a bare scalar
+    clause (vendor/jx_base/query.py); without it "g" iterates char-by-char."""
+    out = jx.run(
+        {"from": "t", "groupby": "g",
+         "select": {"aggregate": "count", "name": "n"}, "sort": "g"},
+        frames,
+    )
+    assert [(r["g"], r["n"]) for r in out.collect()] == [
+        ("x", 2), ("y", 2), ("z", 1)]
+    e = jx.run(
+        {"from": "t",
+         "edges": {"name": "vbin", "value": "v",
+                   "domain": {"type": "range", "interval": 100}},
+         "select": {"aggregate": "count", "name": "n"}, "sort": "vbin"},
+        frames,
+    )
+    assert [(r["vbin"], r["n"]) for r in e.collect()] == [(None, 1), (0, 4)]
+
+
 def test_edges_range_domain(frames):
     out = jx.run(
         {
