@@ -105,6 +105,48 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# PII patterns shared by the scrubber and its counters.  Regex dialect is
+# the intersection of Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repeats, ASCII \b — no lookaround, no backreferences.
+# Order matters: emails first (they contain digits and dots that the later
+# patterns would otherwise mangle), then IPv4, then long digit runs
+# (card/phone-shaped: 9+ digits allowing space/dash separators).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d[\d \-]{7,}\d\b", "<NUM>"),
+]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and long digit runs with typed
+    placeholders — the standard pre-training scrub pass.
+
+    Chained ``regexp_replace`` (JVM, codegen'd); patterns are applied in
+    ``PII_PATTERNS`` order so a replacement never creates a later match.
+    The reference's analog is field scrubbing before indexing
+    (`vendor/pyLibrary/env/rollover_index.py:266-294`).
+    """
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_nums) found by the scrubber's own patterns.
+
+    Counted on the PROGRESSIVELY scrubbed text exactly as ``pii_scrub``
+    sees it, so an email's digits are never double-counted as a number run.
+    """
+    counts = []
+    cur = text
+    for pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return tuple(counts)
+
+
 def fingerprint(text: Column) -> Column:
     """Positional rolling fingerprint: sum(ascii(char_i) * i) mod p.
 

@@ -7,5 +7,7 @@ from activedata_etl_spark.operators.lww import (  # noqa: F401
 )
 from activedata_etl_spark.operators.sampling import (  # noqa: F401
     contamination_pairs,
+    pack_sequences,
+    quota_sample,
     split_assign,
 )

@@ -1,5 +1,6 @@
 """Dataset-assembly operators for a training-data pipeline: deterministic
-splits and train/test contamination detection.
+splits, quota resampling, sequence packing, and train/test contamination
+detection.
 
 The reference shards work by key hash (`activedata_etl/etl.py:438-446` spot
 workers over key ranges; ES routing by _id); a corpus pipeline needs the
@@ -61,6 +62,93 @@ def split_assign(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    *,
+    default_rate: float = 1.0,
+    seed: int = 202,
+) -> DataFrame:
+    """Deterministic per-group subsampling to target mixing weights.
+
+    A corpus pipeline rebalances sources/languages by DOWN-sampling
+    over-represented groups ("keep 25% of en, all of everything else").
+    Keep a row iff u = mix31(id) < rate(group) * P — the keep decision is a
+    pure function of (id, group), so reruns, retries, and layout changes
+    select the SAME subset (``df.sample`` does not survive any of those),
+    and a row kept at rate r stays kept at any rate r' > r (nested samples
+    for ablations).  One scan, zero shuffles; groups absent from ``rates``
+    use ``default_rate``.
+    """
+    if not all(0.0 <= r <= 1.0 for r in rates.values()):
+        raise ValueError("rates must be fractions in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be a fraction in [0, 1]")
+    ((a, c),) = mix_consts(seed, 1)
+    u = (F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P)) * a + c) % MIX_P
+    cut = F.lit(int(default_rate * MIX_P))
+    for name, rate in rates.items():
+        cut = F.when(F.col(group_col) == name, int(rate * MIX_P)).otherwise(cut)
+    return df.where(u < cut)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    *,
+    n_shards: int = 256,
+    seed: int = 303,
+) -> DataFrame:
+    """Greedy token-budget packing: assign every document to a training
+    sequence ("pack") of ~``budget`` tokens.
+
+    Layout: shard = mix31(id) % n_shards partitions the corpus into
+    independent packing streams (one shuffle, each stream ~corpus/n_shards
+    — size n_shards to executor counts, NOT one global window, which would
+    serialize 10^10 rows through a single task).  Within a shard, docs are
+    concatenated in deterministic id order and a doc belongs to the pack
+    where its FIRST token lands: pack_id = floor((cumsum - tokens)/budget).
+    A doc longer than the remaining room therefore OVERFLOWS its pack by up
+    to one doc (standard pack-then-truncate semantics; callers that split
+    documents instead should pre-chunk them).  Output adds shard, pack_id,
+    pack_pos (0-based position within the pack) and tok_offset (tokens
+    before this doc in its pack).
+
+    Deterministic in (id, tokens) alone — same packs across reruns and
+    engines; the arithmetic is plain windowed SUM, so a SQL oracle
+    reproduces it exactly.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window as W
+
+    ((a, c),) = mix_consts(seed, 1)
+    u = (F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P)) * a + c) % MIX_P
+    # a null token count must not poison the running sum for every later
+    # doc in the shard — treat it as a zero-length doc
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    out = df.withColumn("shard", (u % n_shards).cast("int"))
+    w = W.partitionBy("shard").orderBy(F.col(id_col).cast("long"))
+    cum = F.sum(toks).over(w)
+    out = out.withColumn("__start", cum - toks)
+    out = out.withColumn(
+        "pack_id", F.floor(F.col("__start") / budget).cast("long")
+    )
+    wp = W.partitionBy("shard", "pack_id").orderBy(F.col(id_col).cast("long"))
+    return (
+        out.withColumn("pack_pos", F.row_number().over(wp) - 1)
+        .withColumn(
+            "tok_offset",
+            (F.col("__start") - F.col("pack_id") * budget).cast("long"),
+        )
+        .drop("__start")
+    )
 
 
 def contamination_pairs(
@@ -149,4 +237,10 @@ def contamination_pairs(
     )
 
 
-__all__ = ["split_assign", "contamination_pairs", "fanout"]
+__all__ = [
+    "split_assign",
+    "quota_sample",
+    "pack_sequences",
+    "contamination_pairs",
+    "fanout",
+]

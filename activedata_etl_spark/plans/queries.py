@@ -1584,6 +1584,151 @@ ORDER BY test_id, train_id
 """
 
 
+def quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Rebalance the corpus to target language mixing weights by
+    deterministic down-sampling (operators/sampling.py:quota_sample):
+    keep 25% of the over-represented 'en', 80% of 'zh', everything else —
+    a pure (id, group) hash decision, so the oracle reproduces the exact
+    kept subset."""
+    from activedata_etl_spark.operators.sampling import quota_sample as qsamp
+
+    d = _t(spark, sf, "documents")
+    return (
+        qsamp(d, "lang", {"en": 0.25, "zh": 0.8}, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _quota_consts():
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(202, 1)
+    return a, c, int(0.25 * MIX_P), int(0.8 * MIX_P), MIX_P
+
+
+_QA, _QC, _QCUT_EN, _QCUT_ZH, _QP = _quota_consts()
+
+ORACLE_QUOTA_SAMPLE = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             (((doc_id % {_QP} + {_QP}) % {_QP}) * {_QA} + {_QC}) % {_QP} AS u
+      FROM documents)
+WHERE u < CASE lang WHEN 'en' THEN {_QCUT_EN}
+                    WHEN 'zh' THEN {_QCUT_ZH}
+                    ELSE {_QP} END
+ORDER BY doc_id
+"""
+
+
+PACK_BUDGET = 4096
+PACK_SHARDS = 8
+
+
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (operators/sampling.py:pack_sequences):
+    every document assigned to a ~4096-token training pack (n_chars as the
+    token proxy — the table's precomputed length), sharded into parallel
+    packing streams.  Windowed-SUM arithmetic, bit-identical in SQL."""
+    from activedata_etl_spark.operators.sampling import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return (
+        pack_sequences(d, "doc_id", "n_chars", PACK_BUDGET,
+                       n_shards=PACK_SHARDS)
+        .select("doc_id", "shard", "pack_id", "pack_pos", "tok_offset")
+        .orderBy("doc_id")
+    )
+
+
+def _pack_consts():
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(303, 1)
+    return a, c, MIX_P
+
+
+_PA, _PC, _PP = _pack_consts()
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH sharded AS (
+  SELECT doc_id, n_chars,
+         CAST((((doc_id % {_PP} + {_PP}) % {_PP}) * {_PA} + {_PC}) % {_PP}
+              % {PACK_SHARDS} AS INTEGER) AS shard
+  FROM documents
+), packed AS (
+  SELECT doc_id, shard,
+         SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS strt
+  FROM sharded
+)
+SELECT doc_id, shard,
+       CAST(floor(strt / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(row_number() OVER (
+           PARTITION BY shard, CAST(floor(strt / {PACK_BUDGET}) AS BIGINT)
+           ORDER BY doc_id) - 1 AS INTEGER) AS pack_pos,
+       CAST(strt - CAST(floor(strt / {PACK_BUDGET}) AS BIGINT)
+                   * {PACK_BUDGET} AS BIGINT) AS tok_offset
+FROM packed
+ORDER BY doc_id
+"""
+
+
+def pii_scrub_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass (functions/text.py:pii_scrub): emails, IPv4s, and
+    long digit runs redacted with typed placeholders, plus per-doc counts.
+    The synthetic corpus carries no PII, so each doc gets a deterministic
+    doc_id-derived PII suffix appended first — the oracle builds the same
+    input and must reproduce the same redactions."""
+    d = _t(spark, sf, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 card 4111 1111 1111 "),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    n_emails, n_ips, n_nums = TX.pii_counts(t)
+    return d.select(
+        "doc_id",
+        TX.pii_scrub(t).alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_nums.alias("n_nums"),
+    ).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\b\d[\d \-]{7,}\d\b"
+
+ORACLE_PII_SCRUB = f"""
+WITH inp AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at 10.0.'
+              || (doc_id % 256) || '.7 card 4111 1111 1111 '
+              || (doc_id % 10000) AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM inp
+), s2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_NUM}', '<NUM>', 'g') AS scrubbed,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ips,
+       len(regexp_extract_all(t2, '{_PII_NUM}')) AS n_nums
+FROM s2
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1639,6 +1784,9 @@ SPARK_QUERIES = {
     "typed_json_props": typed_json_props,
     "data_split": data_split,
     "contamination": contamination,
+    "quota_sample": quota_sample,
+    "pack_sequences": pack_sequences_q,
+    "pii_scrub": pii_scrub_q,
 }
 
 ORACLE_SQL = {
@@ -1692,4 +1840,7 @@ ORACLE_SQL = {
     "typed_json_props": ORACLE_TYPED_JSON,
     "data_split": ORACLE_DATA_SPLIT,
     "contamination": ORACLE_CONTAMINATION,
+    "quota_sample": ORACLE_QUOTA_SAMPLE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "pii_scrub": ORACLE_PII_SCRUB,
 }

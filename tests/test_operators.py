@@ -587,3 +587,95 @@ def test_contamination_pairs_finds_injected_leak(spark):
         train.where("doc_id < 10"), test, "doc_id", "text", threshold=0.5
     )
     assert none.count() == 0
+
+
+def test_quota_sample_nested_and_deterministic(spark):
+    """Keep decision is a pure (id, group) function: rates hit within
+    tolerance, lower-rate samples nest inside higher-rate ones, groups
+    absent from the rates dict ride default_rate."""
+    from activedata_etl_spark.operators.sampling import quota_sample
+
+    df = (
+        spark.range(0, 30_000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "de")
+            .otherwise("fr"),
+        )
+    )
+    kept = quota_sample(df, "lang", {"en": 0.2, "de": 0.5}, "doc_id")
+    counts = {r["lang"]: r["count"]
+              for r in kept.groupBy("lang").count().collect()}
+    assert abs(counts["en"] / 10_000 - 0.2) < 0.02
+    assert abs(counts["de"] / 10_000 - 0.5) < 0.02
+    assert counts["fr"] == 10_000  # default_rate=1.0 keeps everything
+    # nested: the 0.2-en sample is a subset of the 0.5-en sample
+    small = {r["doc_id"] for r in quota_sample(
+        df, "lang", {"en": 0.2}, "doc_id").where("lang = 'en'").collect()}
+    big = {r["doc_id"] for r in quota_sample(
+        df, "lang", {"en": 0.5}, "doc_id").where("lang = 'en'").collect()}
+    assert small <= big
+    # default_rate applies to unlisted groups
+    half = quota_sample(df, "lang", {}, "doc_id", default_rate=0.5)
+    assert abs(half.count() / 30_000 - 0.5) < 0.02
+    with pytest.raises(ValueError):
+        quota_sample(df, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    """Pack assignment equals a per-shard greedy python fold; offsets stay
+    inside the budget grid; null token counts pack as zero-length docs."""
+    from activedata_etl_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 37) % 900 + 10) for i in range(400)]
+    rows.append((400, None))  # null token count must not poison the shard
+    df = spark.createDataFrame(rows, "doc_id long, toks int")
+    budget, shards = 1000, 4
+    out = pack_sequences(df, "doc_id", "toks", budget, n_shards=shards)
+    got = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_pos"],
+                         r["tok_offset"]) for r in out.collect()}
+    assert len(got) == 401
+    # python referee: same shard hash, same greedy cumulative fold
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(303, 1)
+    by_shard = {}
+    for i, t in rows:
+        by_shard.setdefault(((i % MIX_P) * a + c) % MIX_P % shards, []).append(
+            (i, t or 0))
+    for shard, docs in by_shard.items():
+        cum = 0
+        pos_in_pack = {}
+        for i, t in sorted(docs):
+            pack = cum // budget
+            pos = pos_in_pack.get(pack, 0)
+            pos_in_pack[pack] = pos + 1
+            assert got[i] == (shard, pack, pos, cum - pack * budget), i
+            cum += t
+    # every doc starts strictly inside its pack's budget window
+    assert out.where(
+        (F.col("tok_offset") < 0) | (F.col("tok_offset") >= budget)
+    ).count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "toks", 0)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from activedata_etl_spark.functions.text import pii_counts, pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.co.uk or call 555 123 4567"),
+        (2, "server 192.168.0.1 and card 4111-1111-1111-1111 leaked"),
+        (3, "clean text with a short number 1234 and v2.0 markers"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    n_e, n_i, n_n = pii_counts(F.col("t"))
+    got = {r["id"]: (r["s"], r["e"], r["i"], r["n"]) for r in df.select(
+        "id", pii_scrub(F.col("t")).alias("s"),
+        n_e.alias("e"), n_i.alias("i"), n_n.alias("n")).collect()}
+    assert got[1] == ("mail me at <EMAIL> or call <NUM>", 1, 0, 1)
+    assert got[2] == ("server <IP> and card <NUM> leaked", 0, 1, 1)
+    # short digit runs and version strings survive
+    assert got[3] == (rows[2][1], 0, 0, 0)
