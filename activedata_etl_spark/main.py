@@ -138,6 +138,21 @@ def _parser() -> argparse.ArgumentParser:
                     help="write the FULL feed to this parquet path instead "
                          "of printing (distributed write, no driver "
                          "collect; --limit ignored)")
+
+    ex = sub.add_parser("export-es", help="incremental ES export: render "
+                                          "the change feed since the last "
+                                          "export as POST-able _bulk files "
+                                          "(index + versioned delete "
+                                          "actions); cursor in snapshot "
+                                          "properties")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--cursor", default="es",
+                    help="cursor name — one per destination index")
+    ex.add_argument("--from", dest="from_version", type=int, default=None,
+                    help="override the cursor (explicit range re-export)")
+    ex.add_argument("--to", dest="to_version", type=int, default=None)
+    ex.add_argument("--batch-size", type=int, default=5000)
     return p
 
 
@@ -239,6 +254,14 @@ def main(argv: list[str] | None = None) -> None:
         else:
             rows = [r.asDict() for r in feed.limit(args.limit).collect()]
             print(json.dumps(rows, default=str))
+    elif args.cmd == "export-es":
+        from activedata_etl_spark.lake.table import SnapshotTable
+        from activedata_etl_spark.sinks.es_bulk import export_changes
+
+        print(json.dumps(export_changes(
+            SnapshotTable(spark, args.table), args.out,
+            cursor_name=args.cursor, from_version=args.from_version,
+            to_version=args.to_version, batch_size=args.batch_size)))
     elif args.cmd == "analyze":
         from activedata_etl_spark.lake.table import SnapshotTable
 

@@ -44,6 +44,28 @@ def bulk_action_lines(
       would judge stale (size ``version_scale`` to the journal: e.g. max
       offsets per commit_seq).
     """
+    _id, version = _id_and_version(id_cols, version_cols, version_scale)
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                _id.alias("_id"),
+                version.alias("version"),
+                F.lit("external_gte").alias("version_type"),
+            ).alias("index")
+        )
+    )
+    payload_cols = [c for c in df.columns]
+    source = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    return df.select(action.alias("action_line"), source.alias("source_line"))
+
+
+def _id_and_version(
+    id_cols: tuple[str, ...],
+    version_cols: tuple[str, ...],
+    version_scale: int,
+) -> tuple[F.Column, F.Column]:
+    """The collision-free `_id` and monotone `version` expressions shared by
+    index and delete actions (see `bulk_action_lines` for the rationale)."""
     _id = F.to_json(
         F.struct(*[F.col(c) for c in id_cols]),
         {"ignoreNullFields": "false"},
@@ -80,18 +102,120 @@ def bulk_action_lines(
                 F.lit(f" >= version_scale={version_scale}; raise version_scale"),
             ))
         )
-    action = F.to_json(
-        F.struct(
-            F.struct(
-                _id.alias("_id"),
-                version.alias("version"),
-                F.lit("external_gte").alias("version_type"),
-            ).alias("index")
-        )
+    return _id, version
+
+
+def change_bulk_lines(
+    feed: DataFrame,
+    *,
+    id_cols: tuple[str, ...] = ("repo", "path"),
+    version_cols: tuple[str, ...] = ("commit_seq", "offset"),
+    version_scale: int = 1_000_000,
+) -> DataFrame:
+    """Render a CHANGE FEED (`SnapshotTable.changes(..., deletes='tombstone')`)
+    as `_bulk` lines: insert/update rows become versioned `index`
+    action+source pairs, delete rows become versioned `delete` actions (no
+    source line — `source_line` is null).  The tombstone feed carries the
+    DELETE's own version columns, so a replayed range re-sends byte-identical
+    actions and `external_gte` makes the POST idempotent — deletes included.
+    """
+    _id, version = _id_and_version(id_cols, version_cols, version_scale)
+    meta = F.struct(
+        _id.alias("_id"),
+        version.alias("version"),
+        F.lit("external_gte").alias("version_type"),
     )
-    payload_cols = [c for c in df.columns]
-    source = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
-    return df.select(action.alias("action_line"), source.alias("source_line"))
+    is_del = F.col("_change_type") == "delete"
+    action = F.when(
+        is_del, F.to_json(F.struct(meta.alias("delete")))
+    ).otherwise(F.to_json(F.struct(meta.alias("index"))))
+    payload_cols = [
+        c for c in feed.columns
+        if c not in ("_change_type", "_from_version", "_to_version")
+    ]
+    source = F.when(
+        is_del, F.lit(None).cast("string")
+    ).otherwise(F.to_json(F.struct(*[F.col(c) for c in payload_cols])))
+    return feed.select(
+        action.alias("action_line"), source.alias("source_line")
+    )
+
+
+def export_changes(
+    source,
+    out_dir: str,
+    *,
+    cursor_name: str = "es",
+    from_version: int | None = None,
+    to_version: int | None = None,
+    id_cols: tuple[str, ...] | None = None,
+    version_cols: tuple[str, ...] | None = None,
+    version_scale: int = 1_000_000,
+    batch_size: int = 5000,
+) -> dict:
+    """Incremental, resumable ES export: consume ``source``'s change data
+    feed since the last export and render POST-able `_bulk` part-files —
+    the reference's `push_to_es` loop (`activedata_etl/push_to_es.py`)
+    re-expressed over CDC instead of re-reading whole blocks.
+
+    The consumed-through cursor lives in the source's snapshot properties
+    (``es_export_<cursor_name>``, a metadata-only CAS commit), so calling
+    in a loop exports each range exactly once per destination; the range is
+    also the output subdirectory (``v<from>_to_<to>``), so a crashed export
+    re-run OVERWRITES its own partial files before the cursor moves —
+    idempotent end-to-end, and `external_gte` absorbs double-POSTs.  Cost
+    is O(changed buckets), not O(table) (see ``SnapshotTable.changes``).
+    """
+    import os
+
+    snap = source.snapshot()
+    # default the document identity to the table's own key/version metadata
+    # — the id under which replicas converge is the id ES should use
+    if id_cols is None:
+        id_cols = tuple(snap["key_cols"])
+    if version_cols is None:
+        version_cols = tuple(snap["version_cols"])
+    start = from_version
+    if start is None:
+        start = int(snap.get("properties", {}).get(
+            f"es_export_{cursor_name}", 0))
+    v_to = source.current_version() if to_version is None else to_version
+    if start >= v_to:
+        return {"docs": 0, "deletes": 0, "from_version": start,
+                "to_version": start, "out": None}
+    feed = source.changes(start, v_to, deletes="tombstone").localCheckpoint()
+    counts = {
+        r["_change_type"]: r["count"]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    if not counts:
+        # nothing changed in the range (e.g. only metadata commits — the
+        # cursor commit below is itself one).  Do NOT move the cursor: a
+        # no-op export must not create a commit, or every poll would mint a
+        # fresh version and the exporter would chase its own tail forever.
+        return {"docs": 0, "deletes": 0, "from_version": start,
+                "to_version": start, "out": None}
+    lines = change_bulk_lines(
+        feed, id_cols=id_cols, version_cols=version_cols,
+        version_scale=version_scale,
+    )
+    # concat_ws deliberately DROPS the null source_line of a delete action —
+    # the one place that semantics is exactly right (never use it for ids)
+    body = lines.select(
+        F.concat_ws("\n", "action_line", "source_line").alias("value")
+    )
+    out = os.path.join(out_dir, f"v{start}_to_{v_to}")
+    (body.write.mode("overwrite")
+     .option("maxRecordsPerFile", batch_size).text(out))
+    source.set_properties(**{f"es_export_{cursor_name}": v_to})
+    n_del = counts.get("delete", 0)
+    return {
+        "docs": sum(counts.values()) - n_del,
+        "deletes": n_del,
+        "from_version": start,
+        "to_version": v_to,
+        "out": out,
+    }
 
 
 def write_bulk_files(

@@ -507,3 +507,62 @@ def test_cli_replay_and_lineage(spark, tmp_path):
     assert t.current_version() == v + 1
     cli(["backfill", "--journal", jd, "--table", loc, "--offsets", "0..511"])
     cli(["lineage", "--table", loc])
+
+
+def test_export_changes_incremental_bulk(spark, tmp_path):
+    """push_to_es over CDC: the change feed renders as versioned index +
+    delete bulk actions, the cursor resumes in snapshot properties, and a
+    caught-up export is a no-op."""
+    import glob
+    import json
+
+    from activedata_etl_spark.functions.normalize import normalize_batch
+    from activedata_etl_spark.sinks.es_bulk import export_changes
+
+    t = _mk_table(spark, tmp_path, [
+        (0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None),
+        (0, 1, 1, "insert", "r", "b.js", "d" * 12, None, "Y", None),
+    ], "t_esx")
+    out = str(tmp_path / "esx")
+    s1 = export_changes(t, out)
+    assert (s1["docs"], s1["deletes"]) == (2, 0)
+
+    b2 = spark.createDataFrame([
+        (0, 2, 2, "update", "r", "a.py", "e" * 12, None, "X2", None),
+        (0, 3, 3, "delete", "r", "b.js", "f" * 12, None, None, None),
+    ], COLS)
+    apply_batch(t, normalize_batch(b2), 1)
+    s2 = export_changes(t, out)
+    assert (s2["docs"], s2["deletes"]) == (1, 1)
+    assert s2["from_version"] == s1["to_version"]
+
+    lines = []
+    for f in sorted(glob.glob(f"{s2['out']}/part-*")):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    actions = [json.loads(ln) for ln in lines if '"index"' in ln or '"delete"' in ln]
+    by_op = {}
+    for a in actions:
+        (op, meta), = a.items()
+        by_op.setdefault(op, []).append(meta)
+    # update -> index action with the UPDATE's version; its source line follows
+    assert len(by_op["index"]) == 1
+    assert json.loads(by_op["index"][0]["_id"])["path"] == "a.py"
+    assert by_op["index"][0]["version"] == 2 * 1_000_000 + 2
+    srcs = [json.loads(ln) for ln in lines if '"content"' in ln]
+    assert [s["content"] for s in srcs] == ["X2"]
+    # delete -> versioned delete action carrying the tombstone's version,
+    # and NO source line (the null was dropped, not rendered)
+    assert len(by_op["delete"]) == 1
+    assert json.loads(by_op["delete"][0]["_id"])["path"] == "b.js"
+    assert by_op["delete"][0]["version"] == 3 * 1_000_000 + 3
+    assert len(lines) == 3  # index + its source + delete
+
+    # caught up: no-op, cursor unmoved
+    s3 = export_changes(t, out)
+    assert s3 == {"docs": 0, "deletes": 0, "from_version": s3["from_version"],
+                  "to_version": s3["from_version"], "out": None}
+    # explicit range re-export is byte-stable (same dir, overwritten)
+    s4 = export_changes(t, out, from_version=s2["from_version"],
+                        to_version=s2["to_version"])
+    assert s4["out"] == s2["out"] and (s4["docs"], s4["deletes"]) == (1, 1)
