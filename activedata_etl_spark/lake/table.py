@@ -98,10 +98,53 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
 class SnapshotTable:
     """Single-writer ACID table: snapshot metadata + bucketed parquet data."""
 
+    # read-time MOR strategy cutoff: delta chains at or below this many
+    # bytes merge via a BROADCAST key probe (no base shuffle); above it —
+    # or when sizing would cost too many stat() calls — the read falls back
+    # to the full structmax shuffle of the touched buckets.  Env override
+    # (SPARK_GRAFT_MOR_BROADCAST_MAX_BYTES) is an ops/bench knob; 0
+    # disables the probe entirely.
+    MOR_BROADCAST_MAX_DELTA_BYTES = int(os.environ.get(
+        "SPARK_GRAFT_MOR_BROADCAST_MAX_BYTES", str(64 << 20)))
+    MOR_BROADCAST_MAX_DELTA_FILES = 4096
+
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
         self.location = location.rstrip("/")
         self.meta_dir = os.path.join(self.location, "metadata")
+        # (rel, bucket) -> bytes; data dirs are immutable once committed,
+        # so sizes cache for the table handle's lifetime
+        self._delta_bytes_cache: dict[tuple[str, str], int] = {}
+
+    def _delta_bytes(self, pairs: list[tuple[str, str]]) -> float:
+        """Total bytes of the given (data-dir relpath, bucket) parquet sets
+        — driver-side stat() calls, cached per immutable dir.  Returns +inf
+        (forcing the shuffle path) when the file count makes driver-side
+        sizing itself a cost, or on any listing error (a racing
+        expire/compact may have removed a dir this snapshot no longer
+        needs; the scan path re-resolves, the sizer must not crash)."""
+        import glob as _glob
+
+        if len(pairs) > self.MOR_BROADCAST_MAX_DELTA_FILES:
+            return float("inf")
+        total = 0
+        for rel, b in pairs:
+            key = (rel, b)
+            n = self._delta_bytes_cache.get(key)
+            if n is None:
+                try:
+                    n = sum(
+                        os.path.getsize(f)
+                        for f in _glob.glob(os.path.join(
+                            self.location, rel, f"{BUCKET_COL}={b}",
+                            "*.parquet",
+                        ))
+                    )
+                except OSError:
+                    return float("inf")
+                self._delta_bytes_cache[key] = n
+            total += n
+        return total
 
     # ------------------------------------------------------------------ DDL
 
@@ -395,23 +438,63 @@ class SnapshotTable:
             [(d, b) for b, d in bucket_dirs.items() if b not in delta_dirs],
         )
         if delta_dirs:
-            pairs = [
-                (bucket_dirs[b], b) for b in delta_dirs if b in bucket_dirs
-            ] + [(rel, b) for b, rels in delta_dirs.items() for rel in rels]
-            raw = self._aligned_scan(snap, schema, pairs)
-            if raw is not None:
-                vcols = snap.get("version_cols")
-                if not vcols:
-                    raise ValueError(
-                        f"table {self.location} has delta files but no "
-                        "version_cols recorded — cannot LWW-merge on read"
-                    )
-                from activedata_etl_spark.operators.lww import (
-                    lww_reduce_structmax,
+            vcols = snap.get("version_cols")
+            if not vcols:
+                raise ValueError(
+                    f"table {self.location} has delta files but no "
+                    "version_cols recorded — cannot LWW-merge on read"
                 )
+            from activedata_etl_spark.operators.lww import (
+                lww_reduce_structmax,
+            )
 
-                merged = lww_reduce_structmax(raw, snap["key_cols"], vcols)
+            base_pairs = [
+                (bucket_dirs[b], b) for b in delta_dirs if b in bucket_dirs
+            ]
+            delta_pairs = [
+                (rel, b) for b, rels in delta_dirs.items() for rel in rels
+            ]
+            keys = snap["key_cols"]
+            base = self._aligned_scan(snap, schema, base_pairs)
+            delta = self._aligned_scan(snap, schema, delta_pairs)
+            if (
+                base is not None
+                and delta is not None
+                and self._delta_bytes(delta_pairs)
+                <= self.MOR_BROADCAST_MAX_DELTA_BYTES
+            ):
+                # small deltas (the steady state between compactions): a
+                # full shuffle of every touched bucket's BASE rows just to
+                # re-pick winners for the handful of delta'd keys is the
+                # wrong cost class at 10^10 rows.  Probe instead: broadcast
+                # the delta key set, pass untouched base rows through
+                # shuffle-free, and run the structmax LWW reduce over ONLY
+                # delta ∪ matching-base — O(delta) shuffled, O(base)
+                # scanned once per side of the probe.  Null key columns
+                # cannot occur (ingest quarantines them), so the anti/semi
+                # split is exactly the groupBy's partition of the keys.
+                dk = F.broadcast(delta.select(*keys).dropDuplicates(keys))
+                # a USING join hoists the key columns to the front of the
+                # output even for semi/anti — restore the scan's order
+                cols = base.columns
+                untouched = base.join(dk, on=keys, how="left_anti") \
+                    .select(*cols)
+                touched = base.join(dk, on=keys, how="left_semi") \
+                    .select(*cols)
+                merged = untouched.unionByName(
+                    lww_reduce_structmax(
+                        touched.unionByName(delta), keys, vcols
+                    )
+                )
                 out = merged if out is None else out.unionByName(merged)
+            else:
+                raw = (
+                    base.unionByName(delta) if base is not None
+                    and delta is not None else (base or delta)
+                )
+                if raw is not None:
+                    merged = lww_reduce_structmax(raw, keys, vcols)
+                    out = merged if out is None else out.unionByName(merged)
         if out is None:
             out = self.spark.createDataFrame([], schema)
         if not include_tombstones and DELETED_COL in out.columns:

@@ -471,8 +471,14 @@ def test_delta_free_buckets_read_plain(spark, tmp_path):
     clean = [b for b in range(32) if b not in delta_buckets][:4]
     assert "Aggregate" not in plan(table.read(buckets=clean))
     assert "Aggregate" in plan(table.read(buckets=delta_buckets))
-    # full read: one merge for the delta buckets, plain scan for the rest
-    assert plan(table.read()).count("Aggregate") == 1
+    # full read: the broadcast key probe confines the merge to the delta'd
+    # keys of the delta buckets (semi/anti split + structmax + key dedup);
+    # the delta-free buckets stay a plain scan — their union branch carries
+    # no Join and no Aggregate
+    full = plan(table.read())
+    assert "LeftSemi" in full and "LeftAnti" in full
+    plain_branch = full.split("Union")[1].split("Join")[0]
+    assert "Aggregate" not in plain_branch
 
 
 def test_analyze_column_stats(spark, tmp_path):
@@ -1063,3 +1069,50 @@ def test_sync_changes_one_shot_full_range(spark, tmp_path):
     # a later replay of the INSERT range alone must not resurrect g0.py
     sync_changes(src, rep, from_version=0, to_version=src.current_version())
     assert "g0.py" not in {r["path"] for r in rep.read().collect()}
+
+
+def test_mor_broadcast_probe_matches_shuffle_merge(spark, tmp_path):
+    """Small delta chains merge via a broadcast key probe (no base
+    shuffle); the result is identical to the full structmax shuffle path,
+    and the plan shows broadcast anti/semi joins instead of a base-wide
+    exchange."""
+    loc = str(tmp_path / "lake_morb")
+    table = _mk_base(spark, loc, n=100)
+    b1 = spark.createDataFrame(
+        [
+            (0, 200, 3, "update", "r", "f5.py", "d" * 12, None, "STALE", None),
+            (0, 201, 201, "update", "r", "f6.py", "d" * 12, None, "FRESH", None),
+            (0, 202, 202, "delete", "r", "f8.py", "d" * 12, None, None, None),
+        ],
+        COLS_V1,
+    )
+    assert apply_batch(table, _norm(b1), 1)["merge_mode"] == "delta"
+    b2 = spark.createDataFrame(
+        [(0, 203, 203, "insert", "r", "fNEW.py", "e" * 12, None, "N", None)],
+        COLS_V1,
+    )
+    assert apply_batch(table, _norm(b2), 2)["merge_mode"] == "delta"
+
+    fast = table.read()
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan \
+        and "LeftAnti" in plan
+
+    slow_t = type(table)(spark, loc)
+    slow_t.MOR_BROADCAST_MAX_DELTA_BYTES = -1  # force the shuffle path
+    slow = slow_t.read()
+    assert "LeftSemi" not in \
+        slow._jdf.queryExecution().executedPlan().toString()
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b
+    got = {r["path"]: r["content"] for r in fast.collect()}
+    assert got["f5.py"] == "X" * 50 and got["f6.py"] == "FRESH"
+    assert "f8.py" not in got and got["fNEW.py"] == "N"
+    # tombstone visibility and point lookups ride the same path
+    assert sorted(
+        r["path"] for r in table.read(include_tombstones=True).collect()
+        if r["path"] in ("f8.py",)
+    ) == ["f8.py"]
+    assert [r["content"] for r in
+            table.lookup({"repo": "r", "path": "f6.py"}).collect()] == ["FRESH"]
