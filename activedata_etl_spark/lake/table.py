@@ -107,6 +107,12 @@ class SnapshotTable:
     MOR_BROADCAST_MAX_DELTA_BYTES = int(os.environ.get(
         "SPARK_GRAFT_MOR_BROADCAST_MAX_BYTES", str(64 << 20)))
     MOR_BROADCAST_MAX_DELTA_FILES = 4096
+    # ...and only when the base dwarfs the deltas: the probe trades one
+    # base shuffle for two base scans plus broadcast fixed costs, which
+    # only pays once the shuffled volume is much larger than the probe
+    # overhead.  Measured crossover (BASELINE.md): 9x base/delta ratio
+    # still favors the shuffle, 137x favors the probe 1.9x — gate at 32x.
+    MOR_BROADCAST_MIN_BASE_RATIO = 32
 
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -457,11 +463,14 @@ class SnapshotTable:
             keys = snap["key_cols"]
             base = self._aligned_scan(snap, schema, base_pairs)
             delta = self._aligned_scan(snap, schema, delta_pairs)
+            d_bytes = (
+                self._delta_bytes(delta_pairs)
+                if base is not None and delta is not None else float("inf")
+            )
             if (
-                base is not None
-                and delta is not None
-                and self._delta_bytes(delta_pairs)
-                <= self.MOR_BROADCAST_MAX_DELTA_BYTES
+                d_bytes <= self.MOR_BROADCAST_MAX_DELTA_BYTES
+                and self._delta_bytes(base_pairs)
+                >= self.MOR_BROADCAST_MIN_BASE_RATIO * max(d_bytes, 1)
             ):
                 # small deltas (the steady state between compactions): a
                 # full shuffle of every touched bucket's BASE rows just to

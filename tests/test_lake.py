@@ -456,6 +456,7 @@ def test_delta_free_buckets_read_plain(spark, tmp_path):
     no Aggregate node, so pushdown/pruning still reach the reader."""
     loc = str(tmp_path / "lake_plain")
     table = _mk_base(spark, loc, n=100)
+    table.MOR_BROADCAST_MIN_BASE_RATIO = 0  # tiny fixture: force the probe
 
     def plan(df):
         return df._jdf.queryExecution().optimizedPlan().toString()
@@ -1078,6 +1079,7 @@ def test_mor_broadcast_probe_matches_shuffle_merge(spark, tmp_path):
     exchange."""
     loc = str(tmp_path / "lake_morb")
     table = _mk_base(spark, loc, n=100)
+    table.MOR_BROADCAST_MIN_BASE_RATIO = 0  # tiny fixture: force the probe
     b1 = spark.createDataFrame(
         [
             (0, 200, 3, "update", "r", "f5.py", "d" * 12, None, "STALE", None),
