@@ -147,6 +147,28 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     return tuple(counts)
 
 
+PARAGRAPH_SEP = "\n\n"
+
+
+def dedup_paragraphs(text: Column, sep: str = PARAGRAPH_SEP) -> Column:
+    """Remove repeated paragraphs within a document, keeping each distinct
+    paragraph's FIRST occurrence in order — the standard intra-doc
+    repetition scrub (boilerplate, templating, crawler echo).
+
+    Pure Catalyst: ``array_distinct`` is documented to preserve
+    first-occurrence order, so split → distinct → join is one codegen'd
+    expression per row — no explode, no shuffle, no Python.
+    """
+    return F.array_join(F.array_distinct(F.split(text, sep)), sep)
+
+
+def paragraph_counts(text: Column, sep: str = PARAGRAPH_SEP) -> tuple[Column, Column]:
+    """(n_paragraphs, n_unique_paragraphs) — the repetition signal a
+    pipeline filters on (e.g. drop docs with unique/total below 0.3)."""
+    ps = F.split(text, sep)
+    return F.size(ps), F.size(F.array_distinct(ps))
+
+
 def fingerprint(text: Column) -> Column:
     """Positional rolling fingerprint: sum(ascii(char_i) * i) mod p.
 

@@ -1729,6 +1729,54 @@ ORDER BY doc_id
 """
 
 
+def dedup_paragraphs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition scrub (functions/text.py:dedup_paragraphs):
+    repeated paragraphs collapse to their first occurrence, in order; the
+    unique/total paragraph counts are the repetition filter signal.  The
+    synthetic corpus is single-paragraph docs, so even doc_ids get their
+    text doubled first — the oracle builds the same input and must produce
+    the same cleaned text."""
+    d = _t(spark, sf, "documents")
+    sep = F.lit("\n\n")
+    tail = F.concat(F.lit("tail "), F.col("doc_id").cast("string"))
+    t = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.col("text"), sep, F.col("text"), sep, tail),
+    ).otherwise(F.concat(F.col("text"), sep, tail))
+    n_paras, n_unique = TX.paragraph_counts(t)
+    return d.select(
+        "doc_id",
+        TX.dedup_paragraphs(t).alias("cleaned"),
+        n_paras.alias("n_paras"),
+        n_unique.alias("n_unique"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DEDUP_PARAGRAPHS = """
+WITH inp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || chr(10) || chr(10) || text
+                        || chr(10) || chr(10) || 'tail ' || doc_id
+              ELSE text || chr(10) || chr(10) || 'tail ' || doc_id
+         END AS t
+  FROM documents
+), ps AS (
+  SELECT doc_id, str_split(t, chr(10) || chr(10)) AS p FROM inp
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(p)),
+                       i -> list_position(p, p[i]) = i),
+           i -> p[i]),
+         chr(10) || chr(10)) AS cleaned,
+       CAST(len(p) AS INTEGER) AS n_paras,
+       CAST(len(list_distinct(p)) AS INTEGER) AS n_unique
+FROM ps ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1787,6 +1835,7 @@ SPARK_QUERIES = {
     "quota_sample": quota_sample,
     "pack_sequences": pack_sequences_q,
     "pii_scrub": pii_scrub_q,
+    "text_dedup_paragraphs": dedup_paragraphs_q,
 }
 
 ORACLE_SQL = {
@@ -1843,4 +1892,5 @@ ORACLE_SQL = {
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "text_dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
 }

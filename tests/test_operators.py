@@ -679,3 +679,25 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[2] == ("server <IP> and card <NUM> leaked", 0, 1, 1)
     # short digit runs and version strings survive
     assert got[3] == (rows[2][1], 0, 0, 0)
+
+
+def test_dedup_paragraphs_first_occurrence_order(spark):
+    from activedata_etl_spark.functions.text import (
+        dedup_paragraphs,
+        paragraph_counts,
+    )
+
+    rows = [
+        (1, "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"),
+        (2, "only one paragraph"),
+        (3, "x\n\nx\n\nx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    n, u = paragraph_counts(F.col("t"))
+    got = {r["id"]: (r["c"], r["n"], r["u"]) for r in df.select(
+        "id", dedup_paragraphs(F.col("t")).alias("c"),
+        n.alias("n"), u.alias("u")).collect()}
+    # first occurrences kept, in order
+    assert got[1] == ("alpha\n\nbeta\n\ngamma", 5, 3)
+    assert got[2] == ("only one paragraph", 1, 1)
+    assert got[3] == ("x", 3, 1)
