@@ -208,12 +208,21 @@ def main() -> None:
         # ---- CDC replay at N and 4N executors (fresh JVMs, best of REPS,
         #      levels INTERLEAVED so slow VM periods hit both equally) ------
         r_small = r_big = r_salt = None
+        rep_speedups = []
         for i in range(REPS):
-            r_small = _best(r_small, _measure(SMALL_SPEC, journal_dir, workdir, f"s{i}"))
-            r_big = _best(r_big, _measure(BIG_SPEC, journal_dir, workdir, f"b{i}"))
+            m_small = _measure(SMALL_SPEC, journal_dir, workdir, f"s{i}")
+            m_big = _measure(BIG_SPEC, journal_dir, workdir, f"b{i}")
+            r_small = _best(r_small, m_small)
+            r_big = _best(r_big, m_big)
             r_salt = _best(
                 r_salt, _measure(BIG_SPEC, journal_dir, workdir, f"x{i}", salted=True)
             )
+            if m_small["events_per_sec"]:
+                # SAME-rep quotient: both legs ran back-to-back in the same
+                # VM period, so the ratio measures the engine, not the VM
+                rep_speedups.append(
+                    m_big["events_per_sec"] / m_small["events_per_sec"]
+                )
 
         # ---- steady-state incremental CDC: small batches vs a big table ----
         inc_delta = incremental_subprocess(BIG_SPEC, journal_dir, workdir, "delta")
@@ -240,7 +249,17 @@ def main() -> None:
         qtimes["cdc_incremental_cow"] = inc_cow["inc_sec"]
 
         eps_small, eps_big = r_small["events_per_sec"], r_big["events_per_sec"]
-        speedup = eps_big / eps_small if eps_small else 0.0
+        # best-of throughputs answer "how fast can it go"; the SCALING
+        # quotient must come from a single rep (same VM period for both
+        # legs) — the best-leg ratio can pair a fast-period small with a
+        # slow-period big (or vice versa) and print a number that measures
+        # the VM, not the engine (observed: 0.81 vs same-period 0.915).
+        # Median over reps rejects the odd disturbed rep.
+        rep_speedups.sort()
+        speedup = (
+            rep_speedups[len(rep_speedups) // 2] if rep_speedups
+            else (eps_big / eps_small if eps_small else 0.0)
+        )
         eff_raw = round(speedup / (e_big / e_small), 3)
         eff_norm = round(speedup / cap_ratio, 3) if cap_ratio else 0.0
 
@@ -261,6 +280,7 @@ def main() -> None:
                 f"events_per_sec_{SMALL_SPEC}": eps_small,
                 f"events_per_sec_{BIG_SPEC}": eps_big,
                 "speedup": round(speedup, 3),
+                "rep_speedups": [round(s, 3) for s in rep_speedups],
                 "scaling_efficiency_raw": eff_raw,
                 "cpu_capacity_ratio": round(cap_ratio, 3),
                 "scaling_efficiency_hw_normalized": eff_norm,
