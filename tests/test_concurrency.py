@@ -586,3 +586,68 @@ def test_jx_queries_change_feed(spark, tmp_path):
         {},
     ).collect()
     assert [r["path"] for r in paths] == ["f1.py"]
+
+
+def test_export_changes_concurrent_with_ingest(spark, tmp_path):
+    """Exports read PINNED snapshot versions, so a racing ingest commit can
+    never tear an export's range; the cursor's CAS commit survives racing
+    writers, and the union of all exported ranges covers every data commit
+    exactly once."""
+    import glob as _glob
+    import json as _json
+
+    from activedata_etl_spark.sinks.es_bulk import export_changes
+
+    loc = str(tmp_path / "lake_esrace")
+    t = _mk(spark, loc)
+    out = str(tmp_path / "esrace_out")
+
+    stop = threading.Event()
+    applied = []
+    errs = []
+
+    def ingest():
+        bid = 1
+        while not stop.is_set() and bid <= 6:
+            b = spark.createDataFrame(
+                [(0, 100 + bid, 100 + bid, "update", "r",
+                  f"f{bid % 8}.py", "d" * 12, None, f"W{bid}", None)],
+                COLS_V1,
+            )
+            try:
+                apply_batch(t, _norm(b), bid)
+                applied.append(bid)
+            except Exception as e:  # pragma: no cover - fail loud below
+                errs.append(e)
+                return
+            bid += 1
+
+    th = threading.Thread(target=ingest)
+    th.start()
+    stats = []
+    try:
+        for _ in range(12):
+            stats.append(export_changes(t, out))
+    finally:
+        stop.set()
+        th.join()
+    assert not errs, errs
+    # one final export drains whatever landed after the loop
+    stats.append(export_changes(t, out))
+
+    ranges = [(s["from_version"], s["to_version"]) for s in stats
+              if s["out"] is not None]
+    # ranges are contiguous, non-overlapping, and cover all data commits
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 == b0, ranges
+    assert ranges and ranges[0][0] == 0
+    # every ingested update appears in exactly one exported range
+    seen = []
+    for d in sorted(_glob.glob(f"{out}/v*_to_*/part-*")):
+        with open(d) as fh:
+            for ln in fh.read().splitlines():
+                if ln.startswith('{"index"') or '"content"' in ln:
+                    if '"content"' in ln:
+                        seen.append(_json.loads(ln).get("content"))
+    for bid in applied:
+        assert seen.count(f"W{bid}") == 1, (bid, seen)
