@@ -55,6 +55,10 @@ def _parser() -> argparse.ArgumentParser:
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--available-now", action="store_true")
     s.add_argument("--n-buckets", type=int, default=64)
+    s.add_argument("--export-es", default=None, metavar="DIR",
+                   help="after each committed micro-batch, render the "
+                        "change feed as _bulk files under DIR "
+                        "(at-least-once; external_gte dedups)")
 
     v = sub.add_parser("verify")
     v.add_argument("--journal", required=True)
@@ -180,6 +184,7 @@ def main(argv: list[str] | None = None) -> None:
         q = stream_journal(
             spark, args.journal, args.table, args.checkpoint,
             available_now=args.available_now, n_buckets=args.n_buckets,
+            export_es_dir=args.export_es,
         )
         if not args.available_now:
             q.awaitTermination()

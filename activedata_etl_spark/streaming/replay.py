@@ -321,11 +321,20 @@ def stream_journal(
     timeout_sec: float | None = None,
     merge_mode: str = "auto",
     max_deltas_per_bucket: int | None = 16,
+    export_es_dir: str | None = None,
 ):
     """Structured Streaming tail over the journal directory.
 
     foreachBatch gives the transactional boundary; epochId is the fence.
     Returns the (terminated, when available_now) StreamingQuery.
+
+    ``export_es_dir`` closes the CDC-out loop continuously: after each
+    committed micro-batch, `sinks.es_bulk.export_changes` renders the
+    just-committed range as `_bulk` files under the dir.  Export failures
+    do not fail the batch (the data commit already landed; the
+    snapshot-properties cursor means the next batch's export drains the
+    missed range), so the stream degrades to at-least-once export while
+    `external_gte` keeps the index idempotent.
     """
     from activedata_etl_spark.journal import read_journal as _rj
 
@@ -351,6 +360,16 @@ def stream_journal(
         # bucket's delta chain without an external scheduler
         if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
             table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)
+        if export_es_dir is not None:
+            from activedata_etl_spark.sinks.es_bulk import export_changes
+
+            try:
+                export_changes(table, export_es_dir)
+            except Exception as e:  # noqa: BLE001 - stream must outlive export
+                import sys as _sys
+
+                print(f"warn: es export failed for epoch {epoch_id}: "
+                      f"{type(e).__name__}: {e}", file=_sys.stderr)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

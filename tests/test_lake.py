@@ -1118,3 +1118,61 @@ def test_mor_broadcast_probe_matches_shuffle_merge(spark, tmp_path):
     ) == ["f8.py"]
     assert [r["content"] for r in
             table.lookup({"repo": "r", "path": "f6.py"}).collect()] == ["FRESH"]
+
+
+def test_streaming_tail_exports_es_continuously(spark, tmp_path):
+    """stream --export-es: each committed micro-batch's change-feed range
+    renders as _bulk files; the union of exported actions covers the
+    converged table exactly once per live key (plus versioned deletes)."""
+    import glob as _glob
+    import json as _json
+
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.streaming.replay import stream_journal
+
+    jd = str(tmp_path / "journal_esx")
+    write_journal(spark, 2048, jd)
+    loc = str(tmp_path / "lake_esx_stream")
+    ckpt = str(tmp_path / "ckpt_esx")
+    out = str(tmp_path / "esx_stream_out")
+    stream_journal(spark, jd, loc, ckpt, max_files_per_trigger=1,
+                   timeout_sec=120, export_es_dir=out)
+
+    table = SnapshotTable(spark, loc)
+    assert int(table.snapshot()["properties"]["es_export_es"]) >= 1
+    # several micro-batches -> several exported ranges, contiguous
+    dirs = sorted(
+        _glob.glob(f"{out}/v*_to_*"),
+        key=lambda d: int(d.rsplit("/v", 1)[1].split("_")[0]),
+    )
+    assert len(dirs) >= 2
+    spans = [tuple(map(int, d.rsplit("/v", 1)[1].split("_to_"))) for d in dirs]
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 == b0, spans
+
+    # LWW across all exported actions == the converged table's live keys
+    best = {}
+    deleted = set()
+    for d in dirs:
+        for f in _glob.glob(f"{d}/part-*"):
+            with open(f) as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln]
+            i = 0
+            while i < len(lines):
+                a = _json.loads(lines[i])
+                (op, meta), = a.items()
+                key, ver = meta["_id"], meta["version"]
+                if ver >= best.get(key, (-1,))[0]:
+                    if op == "delete":
+                        best[key] = (ver, None)
+                    else:
+                        best[key] = (ver, _json.loads(lines[i + 1]))
+                i += 2 if op == "index" else 1
+    live_export = {k: v[1]["content_sha256"]
+                   for k, v in best.items() if v[1] is not None}
+    live_table = {
+        _json.dumps({"repo": r["repo"], "path": r["path"]},
+                    separators=(",", ":")): r["content_sha256"]
+        for r in table.read().select("repo", "path", "content_sha256").collect()
+    }
+    assert live_export == live_table
