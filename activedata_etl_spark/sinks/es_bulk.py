@@ -183,18 +183,30 @@ def export_changes(
     if start >= v_to:
         return {"docs": 0, "deletes": 0, "from_version": start,
                 "to_version": start, "out": None}
+    cb = source.changed_buckets(start, v_to)
+    if cb is not None and not cb:
+        # pure-metadata range (e.g. only cursor/property commits — the
+        # cursor commit below is itself one): a FREE driver-side check.
+        # Do NOT move the cursor: a no-op export must not create a commit,
+        # or every poll would mint a fresh version and the exporter would
+        # chase its own tail forever.
+        return {"docs": 0, "deletes": 0, "from_version": start,
+                "to_version": start, "out": None}
     feed = source.changes(start, v_to, deletes="tombstone").localCheckpoint()
     counts = {
         r["_change_type"]: r["count"]
         for r in feed.groupBy("_change_type").count().collect()
     }
     if not counts:
-        # nothing changed in the range (e.g. only metadata commits — the
-        # cursor commit below is itself one).  Do NOT move the cursor: a
-        # no-op export must not create a commit, or every poll would mint a
-        # fresh version and the exporter would chase its own tail forever.
+        # physically-changed range with a row-identical diff (a rebucket or
+        # compaction rewrote files without changing content).  ADVANCE the
+        # cursor here: leaving it would re-pay this (possibly full-table)
+        # diff on every poll.  The cursor commit is metadata-only, so the
+        # follow-up range short-circuits on the free check above — no tail
+        # chase.
+        source.set_properties(**{f"es_export_{cursor_name}": v_to})
         return {"docs": 0, "deletes": 0, "from_version": start,
-                "to_version": start, "out": None}
+                "to_version": v_to, "out": None}
     lines = change_bulk_lines(
         feed, id_cols=id_cols, version_cols=version_cols,
         version_scale=version_scale,

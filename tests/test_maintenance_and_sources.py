@@ -566,3 +566,35 @@ def test_export_changes_incremental_bulk(spark, tmp_path):
     s4 = export_changes(t, out, from_version=s2["from_version"],
                         to_version=s2["to_version"])
     assert s4["out"] == s2["out"] and (s4["docs"], s4["deletes"]) == (1, 1)
+
+
+def test_export_changes_survives_rebucket_without_repaying_diff(spark, tmp_path):
+    """A rebucket makes bucket ids incomparable, so the next export pays
+    one full (empty) diff — and must ADVANCE the cursor past it, or every
+    poll would re-pay the full-table diff forever.  The follow-up poll
+    then short-circuits on the free changed_buckets check without minting
+    a commit."""
+    from activedata_etl_spark.sinks.es_bulk import export_changes
+
+    t = _mk_table(spark, tmp_path, [
+        (0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", None),
+        (0, 1, 1, "insert", "r", "b.js", "d" * 12, None, "Y", None),
+    ], "t_esrb")
+    out = str(tmp_path / "esrb")
+    assert export_changes(t, out)["docs"] == 2
+
+    t.rebucket(8)  # row-identical rewrite; fingerprints incomparable
+    s = export_changes(t, out)
+    assert (s["docs"], s["deletes"], s["out"]) == (0, 0, None)
+    assert s["to_version"] > s["from_version"]  # cursor crossed the rebucket
+    v = t.current_version()
+    s2 = export_changes(t, out)
+    assert s2["to_version"] == s2["from_version"]  # free no-op...
+    assert t.current_version() == v                # ...with no commit minted
+    # real changes after the rebucket still export normally
+    from activedata_etl_spark.functions.normalize import normalize_batch
+    b = spark.createDataFrame(
+        [(0, 2, 2, "update", "r", "a.py", "e" * 12, None, "X2", None)], COLS)
+    apply_batch(t, normalize_batch(b), 1)
+    s3 = export_changes(t, out)
+    assert (s3["docs"], s3["deletes"]) == (1, 0)
