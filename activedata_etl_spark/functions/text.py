@@ -147,6 +147,30 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     return tuple(counts)
 
 
+def chunk_text(text: Column, size: int) -> Column:
+    """Split a document into fixed-width character chunks (the pre-chunk
+    step before sequence packing — `operators.sampling.pack_sequences`
+    assigns a WHOLE doc to the pack where it starts, so oversize docs
+    should be chunked first).
+
+    Returns an ``array<string>`` of ceil(len/size) pieces in order; empty
+    or null text yields an empty array (never null — downstream explodes
+    should use the ``_outer`` variants regardless, per the inferred-
+    generate-filter hazard).  Pure Catalyst sequence+transform.
+    """
+    if size <= 0:
+        raise ValueError("chunk size must be positive")
+    n = F.ceil(F.length(text) / F.lit(size)).cast("int")
+    return F.when(
+        F.coalesce(n, F.lit(0)) <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.substring(text, i * size + 1, size),
+        )
+    )
+
+
 PARAGRAPH_SEP = "\n\n"
 
 

@@ -1777,6 +1777,47 @@ FROM ps ORDER BY doc_id
 """
 
 
+CHUNK_SIZE = 512
+
+
+def chunk_docs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-document chunking (functions/text.py:chunk_text): fixed-width
+    character pieces, the pre-chunk step before pack_sequences (which
+    assigns whole docs to packs).  posexplode_outer + a CHEAP pre-guard
+    (length>0, a plain column test) per the inferred-generate-filter
+    hazard — Catalyst must never inline the chunking HOF into a scan-side
+    filter."""
+    d = _t(spark, sf, "documents")
+    chunks = TX.chunk_text(F.col("text"), CHUNK_SIZE)
+    return (
+        d.where(F.length("text") > 0)
+        .select("doc_id", F.posexplode_outer(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk",
+            F.length("chunk").alias("chunk_chars"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_CHUNK_DOCS = f"""
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+             1, CAST(ceil(length(text) / {CHUNK_SIZE}.0) AS INTEGER))) AS i
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS chunk_idx,
+       substr(text, (i - 1) * {CHUNK_SIZE} + 1, {CHUNK_SIZE}) AS chunk,
+       CAST(length(substr(text, (i - 1) * {CHUNK_SIZE} + 1, {CHUNK_SIZE}))
+            AS INTEGER) AS chunk_chars
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1836,6 +1877,7 @@ SPARK_QUERIES = {
     "pack_sequences": pack_sequences_q,
     "pii_scrub": pii_scrub_q,
     "text_dedup_paragraphs": dedup_paragraphs_q,
+    "text_chunks": chunk_docs_q,
 }
 
 ORACLE_SQL = {
@@ -1893,4 +1935,5 @@ ORACLE_SQL = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pii_scrub": ORACLE_PII_SCRUB,
     "text_dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
+    "text_chunks": ORACLE_CHUNK_DOCS,
 }

@@ -701,3 +701,47 @@ def test_dedup_paragraphs_first_occurrence_order(spark):
     assert got[1] == ("alpha\n\nbeta\n\ngamma", 5, 3)
     assert got[2] == ("only one paragraph", 1, 1)
     assert got[3] == ("x", 3, 1)
+
+
+def test_chunk_text_boundaries_and_pack_composition(spark):
+    from activedata_etl_spark.functions.text import chunk_text
+    from activedata_etl_spark.operators.sampling import pack_sequences
+
+    rows = [(1, "a" * 10), (2, "b" * 11), (3, "c" * 9), (4, ""), (5, None)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["ch"] for r in df.select(
+        "id", chunk_text(F.col("t"), 5).alias("ch")).collect()}
+    assert got[1] == ["a" * 5, "a" * 5]          # exact multiple
+    assert got[2] == ["b" * 5, "b" * 5, "b"]     # remainder chunk
+    assert got[3] == ["c" * 5, "c" * 4]
+    assert got[4] == [] and got[5] == []          # empty/null -> empty array
+    with pytest.raises(ValueError):
+        chunk_text(F.col("t"), 0)
+
+    # composition: chunk long docs, then pack the chunks — every pack item
+    # is budget-bounded, so packs never overflow by more than one chunk
+    docs = spark.createDataFrame(
+        [(i, "x" * (i * 97 % 1500 + 1)) for i in range(1, 60)],
+        "doc_id long, text string")
+    chunks = (
+        docs.where(F.length("text") > 0)
+        .select("doc_id", F.posexplode_outer(
+            chunk_text(F.col("text"), 256)).alias("ci", "chunk"))
+        .select(
+            (F.col("doc_id") * 1000 + F.col("ci")).alias("chunk_id"),
+            F.length("chunk").alias("toks"),
+        )
+    )
+    packed = pack_sequences(chunks, "chunk_id", "toks", 256, n_shards=4)
+    # pack-where-it-starts semantics: a pack overflows by at most ONE item,
+    # so with chunk size <= budget every pack total is < 2*budget, and
+    # every item starts strictly inside its pack's window
+    over = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("toks").alias("s"))
+        .where(F.col("s") >= 2 * 256)
+    )
+    assert over.count() == 0
+    assert packed.where(
+        (F.col("tok_offset") < 0) | (F.col("tok_offset") >= 256)
+    ).count() == 0
