@@ -867,6 +867,19 @@ def sync_changes(
     if start >= v_to:
         return {"applied": 0, "deletes": 0, "batches": 0,
                 "synced_version": start}
+    cb = source.changed_buckets(start, v_to)
+    if cb is not None and not cb:
+        # pure-metadata source range (property commits — e.g. the source's
+        # own es-export cursor): a free driver-side check.  Applying the
+        # empty feed would mint a replica commit (and grow its snapshot
+        # chain) on EVERY poll; skip the apply but do advance the replica's
+        # cursor so the metadata commits are not re-diffed next poll — the
+        # cursor write is one replica metadata commit per *source* version
+        # observed, not per poll.
+        replica.set_properties(sync_source=source.location,
+                               synced_version=v_to)
+        return {"applied": 0, "deletes": 0, "batches": 0,
+                "synced_version": v_to}
     feed = source.changes(start, v_to, deletes="tombstone")
     events = feed.withColumn(
         "op",

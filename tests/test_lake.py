@@ -1176,3 +1176,45 @@ def test_streaming_tail_exports_es_continuously(spark, tmp_path):
         for r in table.read().select("repo", "path", "content_sha256").collect()
     }
     assert live_export == live_table
+
+
+def test_sync_changes_skips_pure_metadata_source_ranges(spark, tmp_path):
+    """A source range containing only property commits (e.g. the source's
+    own export cursor) must not push an empty batch through the replica's
+    merge on every poll: the free changed_buckets check advances the sync
+    cursor with one metadata commit, and the follow-up poll is a pure
+    no-op."""
+    from activedata_etl_spark.lake.merge import sync_changes
+
+    src_loc = str(tmp_path / "cdfm_src")
+    rep_loc = str(tmp_path / "cdfm_rep")
+    rows = [
+        (0, i, i, "insert", "r", f"f{i}.py", "c" * 12, None, f"X{i}", None)
+        for i in range(4)
+    ]
+    b0 = spark.createDataFrame(rows, COLS_V1)
+    src = ensure_table(spark, src_loc, b0.schema, n_buckets=4)
+    apply_batch(src, _norm(b0), 0)
+    sync_changes(src, rep_loc)
+    rep = SnapshotTable(spark, rep_loc)
+    rep_batches_before = rep.last_batch_id()
+
+    src.set_properties(some_cursor=7)  # metadata-only source commit
+    s = sync_changes(src, rep)
+    assert s["applied"] == 0 and s["batches"] == 0
+    assert s["synced_version"] == src.current_version()
+    # no empty batch went through the replica's merge
+    assert rep.last_batch_id() == rep_batches_before
+    rep_v = rep.current_version()
+    # fully caught up: the next poll is a no-op with NO replica commit
+    s2 = sync_changes(src, rep)
+    assert s2["batches"] == 0 and rep.current_version() == rep_v
+    # and real changes still flow
+    b1 = spark.createDataFrame(
+        [(0, 10, 10, "update", "r", "f1.py", "d" * 12, None, "NEW", None)],
+        COLS_V1,
+    )
+    apply_batch(src, _norm(b1), 1)
+    s3 = sync_changes(src, rep)
+    assert s3["applied"] == 1
+    assert {r["content"] for r in rep.read().collect()} >= {"NEW"}
