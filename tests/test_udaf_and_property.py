@@ -189,3 +189,49 @@ def test_contamination_matches_bruteforce(spark, texts, threshold, cap):
         assert set(got) <= set(want)
         for k, v in got.items():
             assert v == want[k]
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**40), max_value=2**40),  # doc id (any sign)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5000)),
+    ),
+    min_size=1, max_size=60,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_pack_rows,
+       budget=st.integers(min_value=1, max_value=3000),
+       shards=st.integers(min_value=1, max_value=6))
+def test_pack_sequences_property_matches_greedy_fold(spark, rows, budget, shards):
+    """For ANY (id, tokens) set — negative ids, null token counts, tiny
+    budgets — the distributed packing equals the per-shard greedy python
+    fold, and every item starts inside its pack's window."""
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+    from activedata_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_pos"], r["tok_offset"])
+        for r in pack_sequences(df, "doc_id", "toks", budget,
+                                n_shards=shards).collect()
+    }
+    assert len(got) == len(rows)
+    ((a, c),) = mix_consts(303, 1)
+    by_shard = {}
+    for i, t in rows:
+        sh = ((i % MIX_P + MIX_P) % MIX_P * a + c) % MIX_P % shards
+        by_shard.setdefault(sh, []).append((i, t or 0))
+    for sh, docs in by_shard.items():
+        cum = 0
+        pos_in_pack = {}
+        for i, t in sorted(docs):
+            pack = cum // budget
+            pos = pos_in_pack.get(pack, 0)
+            pos_in_pack[pack] = pos + 1
+            assert got[i] == (sh, pack, pos, cum - pack * budget), (i, got[i])
+            assert 0 <= cum - pack * budget < budget
+            cum += t
