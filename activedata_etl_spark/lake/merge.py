@@ -767,6 +767,18 @@ def _commit(
             if attempt == 7:
                 raise
             fresh = table.snapshot()
+            if (mode == "delta" and data_rel is not None
+                    and fresh.get("n_buckets") != snap.get("n_buckets")):
+                # a concurrent rebucket() changed the layout: this batch's
+                # delta files are bucketed under the OLD n_buckets, so
+                # appending them to delta_dirs keyed by stale bucket ids
+                # would misroute keys (a key's rebucketed base row and its
+                # delta winner would live in different buckets, and
+                # lookup() would prune to the wrong one).  The CoW path
+                # catches this implicitly via its bucket-pointer
+                # comparison; delta must refuse explicitly and let the
+                # caller recompute against the new layout.
+                raise
             if not (data_rel is None or mode == "delta"):
                 # CoW/upsert rewrites merged against snap's base: they can
                 # only rebase if every touched bucket is EXACTLY as the

@@ -357,7 +357,15 @@ class SnapshotTable:
                     f"unsupported zone filter op {op!r} on {c!r} "
                     f"(supported: {self._ZONE_OPS})")
         keep: list[str] = []
-        for b in snap["bucket_dirs"]:
+        # base dirs AND delta chains: a bucket whose only rows live in its
+        # delta chain (delta-mode insert into a previously-empty bucket) has
+        # no base dir — omitting it here would let read(filters=...) silently
+        # drop those rows once stats exist.  Its own stamped fingerprint
+        # (which covers the chain) still makes it prunable when unchanged.
+        for b in sorted(
+            set(snap["bucket_dirs"]) | set(snap.get("delta_dirs", {})),
+            key=int,
+        ):
             st = zone["buckets"].get(b)
             if (st is None
                     or st["fingerprint"] != self._bucket_fingerprint(snap, b)):
@@ -467,9 +475,15 @@ class SnapshotTable:
                 self._delta_bytes(delta_pairs)
                 if base is not None and delta is not None else float("inf")
             )
+            # both sizes must be FINITE to take the probe: an unsizable
+            # base (+inf) trivially satisfies the ratio gate but means we
+            # could not establish the base dwarfs the deltas — fall back to
+            # the always-correct shuffle instead of probing blind
+            b_bytes = self._delta_bytes(base_pairs)
             if (
                 d_bytes <= self.MOR_BROADCAST_MAX_DELTA_BYTES
-                and self._delta_bytes(base_pairs)
+                and b_bytes != float("inf")
+                and b_bytes
                 >= self.MOR_BROADCAST_MIN_BASE_RATIO * max(d_bytes, 1)
             ):
                 # small deltas (the steady state between compactions): a
@@ -744,9 +758,13 @@ class SnapshotTable:
                     1 for r in sn.get("delta_dirs", {}).values() if r
                 ),
                 "n_data_dirs": len(sn.get("dir_versions", {})),
-                "base_rows": sum(
-                    int(v) for v in sn.get("bucket_rows", {}).values()
-                ) or None,
+                # None only when the snapshot predates per-commit row
+                # accounting (no map at all); a tracked map summing to 0
+                # (all rows deleted then compacted away) reports 0
+                "base_rows": (
+                    sum(int(v) for v in sn["bucket_rows"].values())
+                    if sn.get("bucket_rows") is not None else None
+                ),
                 "max_watermark": max(
                     (int(v) for v in sn.get("watermarks", {}).values()),
                     default=None,
@@ -772,7 +790,12 @@ class SnapshotTable:
         snap_b = self.snapshot(to_version)
         if snap_a.get("n_buckets") != snap_b.get("n_buckets"):
             return None
-        all_b = set(snap_a["bucket_dirs"]) | set(snap_b["bucket_dirs"])
+        # union base dirs AND delta-chain keys: a bucket whose rows exist
+        # only as a delta chain (no base dir yet) must still diff — the
+        # fingerprint covers the chain, so base-less buckets compare fine
+        all_b = (set(snap_a["bucket_dirs"]) | set(snap_b["bucket_dirs"])
+                 | set(snap_a.get("delta_dirs", {}))
+                 | set(snap_b.get("delta_dirs", {})))
         return sorted(
             (b for b in all_b
              if self._bucket_fingerprint(snap_a, b)

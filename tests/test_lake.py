@@ -1218,3 +1218,134 @@ def test_sync_changes_skips_pure_metadata_source_ranges(spark, tmp_path):
     s3 = sync_changes(src, rep)
     assert s3["applied"] == 1
     assert {r["content"] for r in rep.read().collect()} >= {"NEW"}
+
+
+def _empty_bucket_path(spark, table, repo="r", prefix="newdoc"):
+    """A path whose (repo, path) key hashes to a bucket with neither base
+    dir nor delta chain in the current snapshot."""
+    snap = table.snapshot()
+    nb = int(snap["n_buckets"])
+    occupied = set(snap["bucket_dirs"]) | set(snap.get("delta_dirs", {}))
+    cand = spark.createDataFrame(
+        [(f"{prefix}{i}.py",) for i in range(256)], "path string"
+    )
+    rows = cand.select(
+        "path",
+        F.pmod(F.hash(F.lit(repo), F.col("path")), F.lit(nb))
+        .cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        if str(r["b"]) not in occupied:
+            return r["path"], str(r["b"])
+    raise AssertionError("no empty bucket found — raise n_buckets")
+
+
+def test_delta_only_bucket_changes_sync_and_pruning(spark, tmp_path):
+    """A delta-mode batch inserting a key into a previously-EMPTY bucket
+    leaves a bucket with a delta chain but no base dir.  That bucket must
+    (a) appear in changed_buckets / changes / sync_changes — the feed must
+    not lose the insert and the pure-metadata fast path must not advance
+    the cursor past it — and (b) never be zone-map-pruned away once an
+    ANALYZE has stamped stats (both enumerations previously iterated only
+    bucket_dirs)."""
+    from activedata_etl_spark.lake.merge import sync_changes
+
+    loc = str(tmp_path / "dob_src")
+    rep_loc = str(tmp_path / "dob_rep")
+    table = _mk_base(spark, loc, n=4, n_buckets=32)
+    sync_changes(table, rep_loc)  # replica caught up to v0 state
+    v0 = table.current_version()
+
+    path, b = _empty_bucket_path(spark, table)
+    b1 = spark.createDataFrame(
+        [
+            (0, 100, 100, "update", "r", "f1.py", "d" * 12, None, "NEW", None),
+            (0, 101, 101, "insert", "r", path, "e" * 12, None, "FRESH", None),
+        ],
+        COLS_V1,
+    )
+    s = apply_batch(table, _norm(b1), 1, merge_mode="delta")
+    assert s["merge_mode"] == "delta"
+    snap = table.snapshot()
+    # precondition: the new key's bucket is delta-only (no base dir)
+    assert b in snap.get("delta_dirs", {}) and b not in snap["bucket_dirs"]
+
+    v1 = table.current_version()
+    assert b in (table.changed_buckets(v0, v1) or [])
+    feed = {r["path"]: r[table.CHANGE_TYPE_COL]
+            for r in table.changes(v0, v1).collect()}
+    assert feed[path] == "insert"
+
+    sync_changes(table, rep_loc)
+    rep = SnapshotTable(spark, rep_loc)
+    got = {r["path"]: r["content"] for r in rep.read().collect()}
+    assert got[path] == "FRESH"
+
+    # zone maps measured AFTER the delta batch: the base-less bucket is
+    # kept via its own stamped fingerprint, and the filtered read sees it
+    table.analyze()
+    pruned = table.prunable_buckets([("content", "==", "FRESH")])
+    assert pruned is not None and b in pruned
+    rows = table.read(filters=[("content", "==", "FRESH")]).collect()
+    assert [r["path"] for r in rows] == [path]
+    # and pruning still prunes: a provably-absent value drops the bucket
+    none = table.read(filters=[("content", "==", "zzzz")]).count()
+    assert none == 0
+
+
+def test_delta_commit_refuses_rebase_across_rebucket(spark, tmp_path):
+    """A delta-mode batch racing a rebucket() must NOT rebase: its delta
+    files are bucketed under the old n_buckets, so appending them to
+    delta_dirs keyed by stale bucket ids would misroute keys.  _commit
+    re-raises CommitConflictError; the caller's recompute (replay's retry
+    loop) then rebuilds the batch against the new layout and converges."""
+    import unittest.mock as mock
+
+    import activedata_etl_spark.lake.table as tbl
+    from activedata_etl_spark.lake.table import CommitConflictError
+
+    loc = str(tmp_path / "delta_rebucket_race")
+    table = _mk_base(spark, loc, n=32, n_buckets=8)
+    other = SnapshotTable(spark, loc)
+    orig = tbl.SnapshotTable.write_buckets
+    hit = {"n": 0}
+
+    def racing_write(self, df, version, sort_by=None):
+        rel = orig(self, df, version, sort_by=sort_by)
+        if self is table and hit["n"] == 0:
+            hit["n"] = 1
+            other.rebucket(4)  # layout change lands before our commit
+        return rel
+
+    up = spark.createDataFrame(
+        [(0, 32, 500, "update", "r", "f0.py", "c" * 12, None, "DELTA", None)],
+        COLS_V1,
+    )
+    with mock.patch.object(tbl.SnapshotTable, "write_buckets", racing_write):
+        with pytest.raises(CommitConflictError):
+            apply_batch(table, _norm(up), 1, merge_mode="delta")
+    assert hit["n"] == 1
+    # caller-style recompute against the fresh snapshot converges
+    s = apply_batch(table, _norm(up), 1, merge_mode="delta")
+    assert not s.get("skipped")
+    got = table.lookup({"repo": "r", "path": "f0.py"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "DELTA"
+    assert table.read().count() == 32
+
+
+def test_history_base_rows_zero_vs_unknown(spark, tmp_path):
+    """history() distinguishes 'row accounting present, sums to 0' (an
+    empty-but-tracked table: all rows deleted then compacted away) from
+    'no accounting' (None) instead of collapsing falsy sums."""
+    loc = str(tmp_path / "hist0")
+    table = _mk_base(spark, loc, n=3, n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(0, 100 + i, 100 + i, "delete", "r", f"f{i}.py", "c" * 12, None,
+          None, None) for i in range(3)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(b1), 1)
+    table.compact(drop_tombstones=True)
+    assert table.read().count() == 0
+    newest = table.history()[0]
+    assert newest["base_rows"] == 0          # tracked-and-empty, not None
