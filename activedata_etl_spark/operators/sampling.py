@@ -27,12 +27,84 @@ from activedata_etl_spark.operators.dedup import (
 )
 
 
+_INT_ID_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _id_residue(df: DataFrame, id_col: str, *, id_hash: str = "auto"):
+    """Residue in [0, MIX_P) derived from the id column, with a dtype guard.
+
+    Real corpora key on string/UUID ids (the reference's keys are strings
+    end-to-end, `activedata_etl/__init__.py:20-50`), so the sampling family
+    must accept them — and must NEVER silently mis-hash: under ANSI-off
+    builds a ``string -> long`` cast yields null, which would route every
+    row into the last split / drop it from every quota.  Hence an explicit
+    dtype check instead of a cast.
+
+    Modes:
+      - ``auto``: integer ids use their own value as the residue (the
+        legacy, oracle-bit-compatible path); string ids route through
+        ``xxhash64`` (one JVM hash, the fast default at 10^10 rows).
+      - ``xxhash64``: force the xxhash64 path (ids cast to string first so
+        the int 7 and the string "7" agree).  Not SQL-oracle-replicable —
+        DuckDB has no xxhash64.
+      - ``sha``: first 15 hex digits of sha256(string(id)) as a long —
+        slower, but both engines compute it identically
+        (Spark ``conv(substring(sha2(x,256),1,15),16,10)`` == DuckDB
+        ``('0x' || substr(sha256(x),1,15))::BIGINT``), so string-id splits
+        stay DuckDB-oracle-checkable.
+      - ``numeric``: force the legacy integer path (raises on non-integer).
+    """
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype is None:
+        raise ValueError(f"id column {id_col!r} not in frame: {df.columns}")
+    is_int = dtype in _INT_ID_TYPES
+    if id_hash == "auto":
+        id_hash = "numeric" if is_int else "xxhash64"
+    if id_hash == "numeric":
+        if not is_int:
+            raise TypeError(
+                f"id column {id_col!r} has dtype {dtype}; the numeric id "
+                "path requires an integer column (string/UUID ids: use "
+                "id_hash='xxhash64' or 'sha')"
+            )
+        # pmod, not %: both Spark and DuckDB keep the dividend's sign on %,
+        # so a negative id would always land in the first split; the oracle
+        # mirrors with ((id % P + P) % P)
+        return F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P))
+    if not (is_int or dtype == "string"):
+        raise TypeError(
+            f"id column {id_col!r} has dtype {dtype}; supported id dtypes "
+            "are integers and strings (float/binary ids are almost always "
+            "a bug — derive a stable string key first)"
+        )
+    if id_hash == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(MIX_P))
+    if id_hash == "sha":
+        h = F.conv(
+            F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15),
+            16, 10,
+        ).cast("long")
+        return F.pmod(h, F.lit(MIX_P))
+    raise ValueError(f"unknown id_hash {id_hash!r}")
+
+
+def _id_order(df: DataFrame, id_col: str):
+    """Deterministic within-shard ordering key: integer ids order
+    numerically (legacy/oracle-compatible), strings order by their UTF8
+    binary value (Spark's default collation == DuckDB's)."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype in _INT_ID_TYPES:
+        return F.col(id_col).cast("long")
+    return F.col(id_col)
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,
     weights: dict[str, float],
     *,
     seed: int = 101,
+    id_hash: str = "auto",
 ) -> DataFrame:
     """Add a ``split`` column assigning each row to a named fraction.
 
@@ -42,15 +114,13 @@ def split_assign(
     the property ``rand()``-based splitting lacks and training pipelines
     require (no eval contamination from re-shuffles).  Weights are
     normalized; iteration order of ``weights`` fixes the interval order.
+    String/UUID ids are supported via ``id_hash`` (see ``_id_residue``).
     """
     if not weights:
         raise ValueError("weights must name at least one split")
     total = float(sum(weights.values()))
     ((a, c),) = mix_consts(seed, 1)
-    # pmod, not %: both Spark and DuckDB keep the dividend's sign on %, so a
-    # negative id would always land in the first split; the oracle mirrors
-    # with ((id % P + P) % P)
-    u = (F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P)) * a + c) % MIX_P
+    u = (_id_residue(df, id_col, id_hash=id_hash) * a + c) % MIX_P
     expr = None
     acc = 0.0
     names = list(weights)
@@ -72,6 +142,7 @@ def quota_sample(
     *,
     default_rate: float = 1.0,
     seed: int = 202,
+    id_hash: str = "auto",
 ) -> DataFrame:
     """Deterministic per-group subsampling to target mixing weights.
 
@@ -82,14 +153,15 @@ def quota_sample(
     select the SAME subset (``df.sample`` does not survive any of those),
     and a row kept at rate r stays kept at any rate r' > r (nested samples
     for ablations).  One scan, zero shuffles; groups absent from ``rates``
-    use ``default_rate``.
+    use ``default_rate``.  String/UUID ids via ``id_hash``
+    (see ``_id_residue``).
     """
     if not all(0.0 <= r <= 1.0 for r in rates.values()):
         raise ValueError("rates must be fractions in [0, 1]")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError("default_rate must be a fraction in [0, 1]")
     ((a, c),) = mix_consts(seed, 1)
-    u = (F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P)) * a + c) % MIX_P
+    u = (_id_residue(df, id_col, id_hash=id_hash) * a + c) % MIX_P
     cut = F.lit(int(default_rate * MIX_P))
     for name, rate in rates.items():
         cut = F.when(F.col(group_col) == name, int(rate * MIX_P)).otherwise(cut)
@@ -104,6 +176,7 @@ def pack_sequences(
     *,
     n_shards: int = 256,
     seed: int = 303,
+    id_hash: str = "auto",
 ) -> DataFrame:
     """Greedy token-budget packing: assign every document to a training
     sequence ("pack") of ~``budget`` tokens.
@@ -122,25 +195,28 @@ def pack_sequences(
 
     Deterministic in (id, tokens) alone — same packs across reruns and
     engines; the arithmetic is plain windowed SUM, so a SQL oracle
-    reproduces it exactly.
+    reproduces it exactly.  String/UUID ids via ``id_hash`` (shard comes
+    from the hash residue; within-shard order is the id's own collation —
+    see ``_id_residue`` / ``_id_order``).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     from pyspark.sql import Window as W
 
     ((a, c),) = mix_consts(seed, 1)
-    u = (F.pmod(F.col(id_col).cast("long"), F.lit(MIX_P)) * a + c) % MIX_P
+    u = (_id_residue(df, id_col, id_hash=id_hash) * a + c) % MIX_P
+    order = _id_order(df, id_col)
     # a null token count must not poison the running sum for every later
     # doc in the shard — treat it as a zero-length doc
     toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     out = df.withColumn("shard", (u % n_shards).cast("int"))
-    w = W.partitionBy("shard").orderBy(F.col(id_col).cast("long"))
+    w = W.partitionBy("shard").orderBy(order)
     cum = F.sum(toks).over(w)
     out = out.withColumn("__start", cum - toks)
     out = out.withColumn(
         "pack_id", F.floor(F.col("__start") / budget).cast("long")
     )
-    wp = W.partitionBy("shard", "pack_id").orderBy(F.col(id_col).cast("long"))
+    wp = W.partitionBy("shard", "pack_id").orderBy(order)
     return (
         out.withColumn("pack_pos", F.row_number().over(wp) - 1)
         .withColumn(

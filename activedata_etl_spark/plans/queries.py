@@ -1536,6 +1536,40 @@ ORDER BY doc_id
 """
 
 
+def data_split_string_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic split assignment over STRING/UUID-style document keys
+    (operators/sampling.py:split_assign with id_hash='sha'): the residue is
+    the first 15 hex digits of sha256(key), which Spark and DuckDB compute
+    identically, so the oracle reproduces every assignment bit-for-bit.
+    Real corpora key on string ids (the reference's keys are strings
+    end-to-end, activedata_etl/__init__.py:20-50)."""
+    from activedata_etl_spark.operators.sampling import split_assign
+
+    d = _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_key")
+    )
+    return (
+        split_assign(d, "doc_key", {"train": 0.9, "val": 0.05, "test": 0.05},
+                     id_hash="sha")
+        .select("doc_key", "split")
+        .orderBy("doc_key")
+    )
+
+
+ORACLE_DATA_SPLIT_STRING = f"""
+SELECT doc_key,
+       CASE WHEN u < {_CUT1} THEN 'train'
+            WHEN u < {_CUT2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_key,
+             ((('0x' || substr(sha256(doc_key), 1, 15))::BIGINT % {_SP})
+              * {_SA} + {_SC}) % {_SP} AS u
+      FROM (SELECT 'doc-' || doc_id::VARCHAR AS doc_key FROM documents))
+ORDER BY doc_key
+"""
+
+
 def contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-set leakage scan: documents with doc_id % 20 == 0 act as the
     held-out set; n-gram Jaccard >= 0.5 against the remaining training
@@ -1872,6 +1906,7 @@ SPARK_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "typed_json_props": typed_json_props,
     "data_split": data_split,
+    "data_split_string_ids": data_split_string_ids,
     "contamination": contamination,
     "quota_sample": quota_sample,
     "pack_sequences": pack_sequences_q,
@@ -1930,6 +1965,7 @@ ORACLE_SQL = {
     "multimodal_meta": ORACLE_MULTIMODAL,
     "typed_json_props": ORACLE_TYPED_JSON,
     "data_split": ORACLE_DATA_SPLIT,
+    "data_split_string_ids": ORACLE_DATA_SPLIT_STRING,
     "contamination": ORACLE_CONTAMINATION,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -662,6 +662,132 @@ def test_pack_sequences_matches_greedy_reference(spark):
         pack_sequences(df, "doc_id", "toks", 0)
 
 
+def test_sampling_string_ids_parity_and_guard(spark):
+    """String/UUID ids route through a hash residue: proportions and the
+    nesting property match the numeric path; the sha mode matches an
+    independent hashlib referee (the DuckDB-oracle arithmetic); non-id
+    dtypes and a forced-numeric string id fail LOUDLY (never the silent
+    ANSI-off null-cast mis-assignment)."""
+    import hashlib
+
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+    from activedata_etl_spark.operators.sampling import (
+        quota_sample,
+        split_assign,
+    )
+
+    n = 20_000
+    df = (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc-"), F.col("id").cast("string"))
+            .alias("doc_key"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        )
+    )
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    for mode in ("auto", "sha"):
+        counts = {
+            r["split"]: r["count"]
+            for r in split_assign(df, "doc_key", w, id_hash=mode)
+            .groupBy("split").count().collect()
+        }
+        assert abs(counts["train"] / n - 0.9) < 0.02, mode
+        assert abs(counts["val"] / n - 0.05) < 0.01, mode
+    # sha mode == independent hashlib referee (the oracle arithmetic)
+    ((a, c),) = mix_consts(101, 1)
+    cut1, cut2 = int(0.9 * MIX_P), int(0.95 * MIX_P)
+    got = {
+        r["doc_key"]: r["split"]
+        for r in split_assign(df, "doc_key", w, id_hash="sha")
+        .select("doc_key", "split").collect()
+    }
+    for k in ("doc-0", "doc-7", "doc-1234", "doc-19999"):
+        res = int(hashlib.sha256(k.encode()).hexdigest()[:15], 16) % MIX_P
+        u = (res * a + c) % MIX_P
+        want = "train" if u < cut1 else ("val" if u < cut2 else "test")
+        assert got[k] == want, k
+    # stable under repartitioning (pure function of the id)
+    rep = split_assign(df.repartition(7), "doc_key", w)
+    drift = (
+        split_assign(df, "doc_key", w).alias("x")
+        .join(rep.alias("y"), "doc_key")
+        .where(F.col("x.split") != F.col("y.split"))
+    )
+    assert drift.count() == 0
+    # nesting survives the string path
+    small = {r["doc_key"] for r in quota_sample(
+        df, "lang", {"en": 0.2}, "doc_key").where("lang = 'en'").collect()}
+    big = {r["doc_key"] for r in quota_sample(
+        df, "lang", {"en": 0.5}, "doc_key").where("lang = 'en'").collect()}
+    assert small <= big and len(small) > 0
+    assert abs(len(big) / (n / 2) - 0.5) < 0.03
+    # guards: float ids refused, numeric mode refused on strings
+    bad = df.withColumn("fid", F.col("doc_id").cast("double"))
+    with pytest.raises(TypeError):
+        split_assign(bad, "fid", w)
+    with pytest.raises(TypeError):
+        split_assign(df, "doc_key", w, id_hash="numeric")
+    with pytest.raises(ValueError):
+        split_assign(df, "nope", w)
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_key", w, id_hash="md5")
+
+
+def test_pack_sequences_string_ids_greedy_parity(spark):
+    """pack_sequences over string ids equals the python greedy fold with
+    sha-residue sharding and lexicographic within-shard order."""
+    import hashlib
+
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+    from activedata_etl_spark.operators.sampling import pack_sequences
+
+    rows = [(f"doc-{i}", (i * 37) % 900 + 10) for i in range(400)]
+    rows.append(("doc-x-null", None))
+    df = spark.createDataFrame(rows, "doc_key string, toks int")
+    budget, shards = 1000, 4
+    out = pack_sequences(df, "doc_key", "toks", budget, n_shards=shards,
+                         id_hash="sha")
+    got = {r["doc_key"]: (r["shard"], r["pack_id"], r["pack_pos"],
+                          r["tok_offset"]) for r in out.collect()}
+    assert len(got) == 401
+    ((a, c),) = mix_consts(303, 1)
+    by_shard = {}
+    for k, t in rows:
+        res = int(hashlib.sha256(k.encode()).hexdigest()[:15], 16) % MIX_P
+        by_shard.setdefault((res * a + c) % MIX_P % shards, []).append(
+            (k, t or 0))
+    for shard, docs in by_shard.items():
+        cum = 0
+        pos_in_pack = {}
+        for k, t in sorted(docs):  # lexicographic == Spark UTF8 binary
+            pack = cum // budget
+            pos = pos_in_pack.get(pack, 0)
+            pos_in_pack[pack] = pos + 1
+            assert got[k] == (shard, pack, pos, cum - pack * budget), k
+            cum += t
+
+
+def test_contamination_pairs_string_ids(spark):
+    """contamination_pairs and the jaccard shingle machinery accept string
+    ids end-to-end (they hash CONTENT, not ids — this pins the property)."""
+    from activedata_etl_spark.operators.sampling import contamination_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(f"tr-{i}", f"unrelated text number {i} with distinct words "
+             f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(1, 40)]
+    rows.append(("tr-leak", base))
+    test_rows = [("te-dup", base + " exactly"), ("te-clean", "nothing here")]
+    train = spark.createDataFrame(rows, "doc_id string, text string")
+    test = spark.createDataFrame(test_rows, "doc_id string, text string")
+    got = contamination_pairs(
+        train, test, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert [(r["test_id"], r["train_id"]) for r in got] == [("te-dup", "tr-leak")]
+    assert got[0]["jaccard"] > 0.8
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     from activedata_etl_spark.functions.text import pii_counts, pii_scrub
 
