@@ -17,12 +17,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_version_scale(max_second: int) -> int:
+    """Smallest power of 10 strictly greater than ``max_second``, floored
+    at 1e6 (the historical default, so small journals keep stable versions
+    and existing indexes stay comparable).
+
+    Changing scale between exports is SAFE for `external_gte` as long as
+    the scale never shrinks: with s2 >= s1 and the second component always
+    < its scale, cs2 > cs1 implies cs2*s2 + off2 > cs1*s1 + off1, and
+    within one commit_seq a larger offset still wins — versions stay
+    monotone per document.  ``export_changes`` persists the scale it used
+    in the table properties and takes the max, enforcing never-shrink.
+    """
+    s = 1_000_000
+    m = int(max_second)
+    while m >= s:
+        s *= 10
+    return s
+
+
+def _resolve_scale(
+    df: DataFrame, version_cols: tuple[str, ...], version_scale: int | None
+) -> int:
+    """An explicit scale passes through (the overflow guard still fires if
+    it is too small); ``None`` sizes it from the data — one column-pruned
+    max() over the frame (parquet row-group stats make this metadata-ish),
+    instead of asking the operator to know the journal's offset invariant."""
+    if version_scale is not None:
+        return int(version_scale)
+    if len(version_cols) < 2:
+        return 1_000_000  # unused: single-component versions never collapse
+    mx = df.agg(
+        F.max(F.col(version_cols[1]).cast("long")).alias("m")
+    ).first()["m"]
+    return auto_version_scale(mx or 0)
+
+
 def bulk_action_lines(
     df: DataFrame,
     *,
     id_cols: tuple[str, ...] = ("repo", "path"),
     version_cols: tuple[str, ...] = ("commit_seq", "offset"),
-    version_scale: int = 1_000_000,
+    version_scale: int | None = None,
 ) -> DataFrame:
     """One output row per document: (action_line, source_line).
 
@@ -41,9 +77,11 @@ def bulk_action_lines(
       version tuple is collapsed as ``first * scale + second``.  The
       collapse is only monotone while ``second < version_scale``, so rows
       violating it raise instead of silently writing a version that ES
-      would judge stale (size ``version_scale`` to the journal: e.g. max
-      offsets per commit_seq).
+      would judge stale.  ``version_scale=None`` (the default) sizes the
+      scale from the data itself (``auto_version_scale``); an explicit
+      value skips the sizing scan but keeps the loud overflow guard.
     """
+    version_scale = _resolve_scale(df, version_cols, version_scale)
     _id, version = _id_and_version(id_cols, version_cols, version_scale)
     action = F.to_json(
         F.struct(
@@ -110,7 +148,7 @@ def change_bulk_lines(
     *,
     id_cols: tuple[str, ...] = ("repo", "path"),
     version_cols: tuple[str, ...] = ("commit_seq", "offset"),
-    version_scale: int = 1_000_000,
+    version_scale: int | None = None,
 ) -> DataFrame:
     """Render a CHANGE FEED (`SnapshotTable.changes(..., deletes='tombstone')`)
     as `_bulk` lines: insert/update rows become versioned `index`
@@ -118,7 +156,9 @@ def change_bulk_lines(
     source line — `source_line` is null).  The tombstone feed carries the
     DELETE's own version columns, so a replayed range re-sends byte-identical
     actions and `external_gte` makes the POST idempotent — deletes included.
+    ``version_scale=None`` auto-sizes from the feed (``auto_version_scale``).
     """
+    version_scale = _resolve_scale(feed, version_cols, version_scale)
     _id, version = _id_and_version(id_cols, version_cols, version_scale)
     meta = F.struct(
         _id.alias("_id"),
@@ -150,7 +190,7 @@ def export_changes(
     to_version: int | None = None,
     id_cols: tuple[str, ...] | None = None,
     version_cols: tuple[str, ...] | None = None,
-    version_scale: int = 1_000_000,
+    version_scale: int | None = None,
     batch_size: int = 5000,
 ) -> dict:
     """Incremental, resumable ES export: consume ``source``'s change data
@@ -207,9 +247,19 @@ def export_changes(
         source.set_properties(**{f"es_export_{cursor_name}": v_to})
         return {"docs": 0, "deletes": 0, "from_version": start,
                 "to_version": v_to, "out": None}
+    # auto-size the version collapse from THIS range's data, never
+    # shrinking below a scale a previous export already used (persisted in
+    # the snapshot properties): versions stay monotone per document across
+    # exports even as the journal's per-partition offsets grow past any
+    # fixed default (auto_version_scale docstring has the proof sketch)
+    scale_key = f"es_export_{cursor_name}_scale"
+    stored_scale = int(snap.get("properties", {}).get(scale_key, 0))
+    eff_scale = max(
+        _resolve_scale(feed, version_cols, version_scale), stored_scale
+    )
     lines = change_bulk_lines(
         feed, id_cols=id_cols, version_cols=version_cols,
-        version_scale=version_scale,
+        version_scale=eff_scale,
     )
     # concat_ws deliberately DROPS the null source_line of a delete action —
     # the one place that semantics is exactly right (never use it for ids)
@@ -219,7 +269,9 @@ def export_changes(
     out = os.path.join(out_dir, f"v{start}_to_{v_to}")
     (body.write.mode("overwrite")
      .option("maxRecordsPerFile", batch_size).text(out))
-    source.set_properties(**{f"es_export_{cursor_name}": v_to})
+    source.set_properties(
+        **{f"es_export_{cursor_name}": v_to, scale_key: eff_scale}
+    )
     n_del = counts.get("delete", 0)
     return {
         "docs": sum(counts.values()) - n_del,
@@ -236,6 +288,7 @@ def write_bulk_files(
     *,
     id_cols: tuple[str, ...] = ("repo", "path"),
     version_cols: tuple[str, ...] = ("commit_seq", "offset"),
+    version_scale: int | None = None,
     batch_size: int = 5000,
 ) -> None:
     """Render `_bulk` bodies as text part-files: alternating action/source
@@ -247,7 +300,10 @@ def write_bulk_files(
     no sizing ``count()`` (a full extra input scan) and no repartition
     (hash distribution only approximates per-file counts, so files could
     exceed the batch)."""
-    lines = bulk_action_lines(df, id_cols=id_cols, version_cols=version_cols)
+    lines = bulk_action_lines(
+        df, id_cols=id_cols, version_cols=version_cols,
+        version_scale=version_scale,
+    )
     body = lines.select(
         F.concat_ws("\n", "action_line", "source_line").alias("value")
     )

@@ -466,7 +466,9 @@ def test_es_bulk_formatter(spark, tmp_path):
     # key column, so which-column-is-null is explicit in the id itself
     assert {"repo": None, "path": "x"} in [json.loads(i) for i in ids]
     assert {"repo": "x", "path": None} in [json.loads(i) for i in ids]
-    # offset >= version_scale must raise, not write a stale-looking version
+    # an EXPLICIT too-small scale must raise, not write a stale-looking
+    # version; the auto default (None) sizes the scale from the data
+    # instead, so north-scale journals (offsets >> 1e6) export cleanly
     import pytest as _pytest
 
     big = spark.createDataFrame(
@@ -474,7 +476,11 @@ def test_es_bulk_formatter(spark, tmp_path):
         "repo string, path string, commit_seq long, offset long, content string",
     )
     with _pytest.raises(Exception, match="version overflow"):
-        bulk_action_lines(big).collect()
+        bulk_action_lines(big, version_scale=1_000_000).collect()
+    auto = json.loads(
+        bulk_action_lines(big).collect()[0]["action_line"]
+    )
+    assert auto["index"]["version"] == 1 * 10_000_000 + 2_000_000
     s0 = json.loads(rows[0]["source_line"])
     assert s0 == {"repo": "r1", "path": "a.py", "commit_seq": 5, "offset": 2,
                   "content": "X"}
@@ -566,6 +572,46 @@ def test_export_changes_incremental_bulk(spark, tmp_path):
     s4 = export_changes(t, out, from_version=s2["from_version"],
                         to_version=s2["to_version"])
     assert s4["out"] == s2["out"] and (s4["docs"], s4["deletes"]) == (1, 1)
+
+
+def test_export_changes_autosizes_version_scale(spark, tmp_path):
+    """A journal whose per-partition offsets exceed the old fixed 1e6
+    default exports cleanly: the scale is sized from the range's data,
+    persisted in the table properties, and NEVER shrinks on later exports
+    (versions stay monotone per document across exports)."""
+    import glob
+    import json
+
+    from activedata_etl_spark.functions.normalize import normalize_batch
+    from activedata_etl_spark.sinks.es_bulk import export_changes
+
+    t = _mk_table(spark, tmp_path, [
+        (0, 5_000_000, 3, "insert", "r", "a.py", "c" * 12, None, "X", None),
+    ], "t_esscale")
+    out = str(tmp_path / "esscale")
+    s1 = export_changes(t, out)
+    assert s1["docs"] == 1
+    lines = []
+    for f in sorted(glob.glob(f"{s1['out']}/part-*")):
+        lines += [ln for ln in open(f).read().splitlines() if ln]
+    v1 = json.loads(lines[0])["index"]["version"]
+    assert v1 == 3 * 10_000_000 + 5_000_000
+    props = t.snapshot().get("properties", {})
+    assert int(props["es_export_es_scale"]) == 10_000_000
+    # a later range with SMALL offsets (partition 1, so the partition-0
+    # watermark fence doesn't swallow it) computes auto scale 1e6 but must
+    # reuse the stored LARGER scale — the same doc's new version exceeds
+    # its old one
+    b2 = spark.createDataFrame(
+        [(1, 7, 4, "update", "r", "a.py", "e" * 12, None, "X2", None)], COLS)
+    apply_batch(t, normalize_batch(b2), 1)
+    s2 = export_changes(t, out)
+    assert s2["docs"] == 1
+    lines2 = []
+    for f in sorted(glob.glob(f"{s2['out']}/part-*")):
+        lines2 += [ln for ln in open(f).read().splitlines() if ln]
+    v2 = json.loads(lines2[0])["index"]["version"]
+    assert v2 == 4 * 10_000_000 + 7 and v2 > v1
 
 
 def test_export_changes_survives_rebucket_without_repaying_diff(spark, tmp_path):
