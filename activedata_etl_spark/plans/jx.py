@@ -708,8 +708,12 @@ def _domain_expr(edge: dict, env: dict | None = None) -> Column:
     value = compile_expr(edge["value"], env)
     dom = edge.get("domain", {})
     typ = dom.get("type", "default")
-    if typ in ("default", "set"):
-        parts = _set_partition_values(dom)
+    if typ in ("default", "set", "unique"):
+        # "unique" (UniqueDomain, vendor/jx_base/domains.py:636): every
+        # distinct value is its own part, identity in/out — same grouping
+        # expression as the data-derived default domain, never filtered
+        # by declared partitions (UniqueDomain has none)
+        parts = _set_partition_values(dom) if typ != "unique" else None
         if parts is not None:
             return F.when(value.isin(*parts), value)
         return value
@@ -1106,9 +1110,31 @@ def run(query: dict, frames: dict[str, DataFrame]) -> DataFrame:
         # each VALUE of the array, not by the array itself — explode_outer so
         # rows with empty/null arrays still land in the null bucket
         if edges is not None:
+            # field-list composite edges (DimFieldListDecoder,
+            # vendor/jx_elasticsearch/es52/decoders.py:672): an edge whose
+            # domain carries dimension.fields=[f1, f2, ...] groups by the
+            # COMPOSITE of those fields — one grouping key per field, output
+            # columns <edge-name>.<field> (leaf spelling), null keys kept
+            # (Spark groupBy keeps them; the decoder's _missing branch)
+            fl_edges = []
+            for e_ in edges:
+                e_d = {"name": e_, "value": e_} if isinstance(e_, str) else dict(e_)
+                fields = ((e_d.get("domain") or {}).get("dimension") or {}) \
+                    .get("fields")
+                if fields:
+                    base = e_d.get("name") if isinstance(e_d.get("name"), str) \
+                        else None
+                    for f_ in fields:
+                        fl_edges.append({
+                            "name": f"{base}.{f_}" if base else f_,
+                            "value": f_,
+                        })
+                else:
+                    fl_edges.append(e_d)
+            edges = fl_edges
             mv_edges = []
             for i, e_ in enumerate(edges):
-                e_d = {"name": e_, "value": e_} if isinstance(e_, str) else dict(e_)
+                e_d = dict(e_)
                 v = e_d.get("value")
                 if v is not None:
                     dt = df.select(compile_expr(v, env).alias("__t")) \

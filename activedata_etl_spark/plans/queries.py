@@ -877,6 +877,35 @@ GROUP BY p.period ORDER BY period NULLS FIRST
 """
 
 
+def q32_unique_domain_edge(spark: SparkSession, sf: str) -> DataFrame:
+    """UniqueDomain edge (vendor/jx_base/domains.py:636): every distinct
+    value is its own part — identity in/out, no declared partition set and
+    no dense fill; exactly a sparse GROUP BY over the raw value."""
+    from activedata_etl_spark.plans import jx
+
+    e = _t(spark, sf, "events")
+    out = jx.run(
+        {
+            "from": "t",
+            "edges": [{"name": "etype", "value": "event_type",
+                       "domain": {"type": "unique"}}],
+            "select": [{"name": "n", "aggregate": "count"},
+                       {"name": "sv", "value": "value", "aggregate": "sum"}],
+            "limit": None,  # engine extension: unbounded
+        },
+        {"t": e},
+    )
+    return out.select(
+        "etype", "n", F.round("sv", 4).alias("sv")
+    ).orderBy(F.col("etype").asc_nulls_first())
+
+
+ORACLE_Q32 = """
+SELECT event_type AS etype, count(*) AS n, round(sum(value), 4) AS sv
+FROM events GROUP BY event_type ORDER BY etype NULLS FIRST
+"""
+
+
 # typed_json_props: the props column is flat {"k": <int>} JSON, so the sigil
 # encoding (vendor/mo_json/typed_encoder.py:132-362) is reconstructible in
 # ANSI SQL — closing the round-1 no_oracle gap for this query
@@ -1888,6 +1917,7 @@ SPARK_QUERIES = {
     "q29_window_rows": q29_window_rows,
     "q30_multivalue_edge": q30_multivalue_edge,
     "q31_calendar_duration_edge": q31_calendar_duration_edge,
+    "q32_unique_domain_edge": q32_unique_domain_edge,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
@@ -1947,6 +1977,7 @@ ORACLE_SQL = {
     "q29_window_rows": ORACLE_Q29,
     "q30_multivalue_edge": ORACLE_Q30,
     "q31_calendar_duration_edge": ORACLE_Q31,
+    "q32_unique_domain_edge": ORACLE_Q32,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,

@@ -1078,3 +1078,49 @@ def test_default_limit_reference_parity(spark, frames):
         assert len(out["data"]) == 10_000
     finally:
         jx.DEFAULT_LIMIT = old
+
+
+def test_unique_domain_edge(frames):
+    """type:'unique' (UniqueDomain, vendor/jx_base/domains.py:636): every
+    distinct value its own part, identity in/out, no dense fill — a sparse
+    GROUP BY; declared partitions are irrelevant to it."""
+    out = jx.run(
+        {"from": "t",
+         "edges": [{"name": "k", "value": "k", "domain": {"type": "unique"}}],
+         "select": [{"name": "n", "aggregate": "count"}],
+         "limit": None},
+        frames,
+    )
+    got = {r["k"]: r["n"] for r in out.collect()}
+    assert got == {"a": 2, "b": 2, None: 1}
+
+
+def test_field_list_composite_edge(frames):
+    """DimFieldListDecoder spelling (vendor/jx_elasticsearch/es52/
+    decoders.py:672): an edge whose domain.dimension.fields lists several
+    fields groups by the composite — one output column per field, named
+    <edge>.<field>, null keys kept."""
+    out = jx.run(
+        {"from": "t",
+         "edges": [{"name": "dim",
+                    "domain": {"type": "set",
+                               "dimension": {"fields": ["k", "g"]}}}],
+         "select": [{"name": "n", "aggregate": "count"},
+                    {"name": "sv", "value": "v", "aggregate": "sum"}],
+         "limit": None},
+        frames,
+    )
+    assert set(out.columns) == {"dim.k", "dim.g", "n", "sv"}
+    got = {(r["dim.k"], r["dim.g"]): r["n"] for r in out.collect()}
+    assert got == {("a", "x"): 1, ("a", "y"): 1, ("b", "x"): 1,
+                   ("b", "y"): 1, (None, "z"): 1}
+    # unnamed edge: plain field names as columns
+    out2 = jx.run(
+        {"from": "t",
+         "edges": [{"domain": {"dimension": {"fields": ["k", "g"]}}}],
+         "select": {"name": "n", "aggregate": "count"},
+         "limit": None},
+        frames,
+    )
+    assert {"k", "g", "n"} <= set(out2.columns)
+    assert out2.count() == 5
