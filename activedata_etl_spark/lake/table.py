@@ -1484,6 +1484,34 @@ class SnapshotTable:
             f"analyze at {self.location} lost 5 commit races"
         )
 
+    def maybe_analyze(
+        self,
+        max_commits_stale: int = 16,
+        columns: list[str] | None = None,
+    ) -> dict | None:
+        """Steady-state maintenance hook: refresh column stats + zone maps
+        when ``max_commits_stale`` commits have landed since the last
+        ANALYZE — the scheduled analog of the reference's background
+        column-metadata daemon (`vendor/jx_elasticsearch/meta.py:546`),
+        shaped like ``maybe_compact``/``maybe_rebucket`` so ingest loops
+        invoke all three uniformly.
+
+        The staleness check is driver-side O(1) (two snapshot-version
+        ints); a never-analyzed table counts staleness from version 0, so
+        a fresh table doesn't pay the O(table) ANALYZE scan on its first
+        batches.  Stale zone maps only cost pruning efficiency, never
+        correctness (``prunable_buckets`` rescans any bucket whose
+        fingerprint drifted from its stamp), so the threshold trades scan
+        cost against pruning freshness — size it to batch cadence at the
+        deployment scale.  Returns the stats dict, or None when fresh.
+        """
+        snap = self.snapshot()
+        stats = snap.get("properties", {}).get("column_stats")
+        last = int(stats["snapshot_version"]) if stats else 0
+        if int(snap["version"]) - last < max_commits_stale:
+            return None
+        return self.analyze(columns=columns)
+
     # ---------------------------------------------------------------- misc
 
     def read_lineage(self) -> DataFrame:

@@ -94,6 +94,7 @@ def replay_journal(
     merge_mode: str = "auto",
     expected_rows: int | None = None,
     max_deltas_per_bucket: int | None = 16,
+    analyze_stale_commits: int | None = 16,
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -107,6 +108,13 @@ def replay_journal(
     threshold are subset-compacted (``SnapshotTable.maybe_compact``), so
     read-time merge work per bucket stays bounded without any external
     scheduler.  ``None`` disables in-loop compaction.
+
+    ``analyze_stale_commits`` schedules column-stats/zone-map refresh the
+    same way (``SnapshotTable.maybe_analyze``): after each batch, if that
+    many commits landed since the last ANALYZE, stats are re-measured —
+    the reference's background column-metadata daemon
+    (`vendor/jx_elasticsearch/meta.py:546`) folded into the ingest loop.
+    The per-batch check is O(1) driver-side; ``None`` disables it.
 
     ``offset_range=(lo, hi)`` replays a bounded slice — the reference's
     backfill-by-key-range (`etl_one`/`parse_id_argument`,
@@ -221,6 +229,10 @@ def replay_journal(
         summaries.append(s)
         if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
             table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)
+        if analyze_stale_commits is not None and not s.get("skipped"):
+            # background-stats analog: O(1) staleness check per batch, a
+            # real ANALYZE only every analyze_stale_commits commits
+            table.maybe_analyze(max_commits_stale=analyze_stale_commits)
         if not s.get("skipped"):
             total_read += s["rows_read"]
             total_applied += s["rows_applied"]

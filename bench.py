@@ -180,6 +180,33 @@ def incremental_subprocess(par: str, journal: str, workdir: str, mode: str) -> d
     return json.loads(lines[-1])
 
 
+ZONE_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_ZONE_BASE", str(1 << 21)))
+ZONE_TAIL = int(os.environ.get("SPARK_GRAFT_BENCH_ZONE_TAIL", "24"))
+ZONE_BUCKETS = int(os.environ.get("SPARK_GRAFT_BENCH_ZONE_BUCKETS", "256"))
+
+
+def zone_subprocess(par: str, workdir: str) -> dict | None:
+    """Measured zone-map pruning + sorted-compaction row-group skipping
+    (bench_zone docstring has the protocol).  Returns None on failure —
+    the pruning numbers are evidence, not a gate; the suite must not die
+    on a probe."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    args = [sys.executable, "-m", "activedata_etl_spark.bench_zone",
+            str(par), str(ZONE_BASE), str(ZONE_TAIL), str(ZONE_BUCKETS),
+            workdir]
+    out = subprocess.run(args, capture_output=True, text=True, env=env,
+                         timeout=1200)
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        print("warn: bench_zone failed; stderr tail:\n"
+              + "\n".join(out.stderr.strip().splitlines()[-10:]),
+              file=sys.stderr)
+        return None
+    return json.loads(lines[-1])
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench_")
     try:
@@ -226,6 +253,9 @@ def main() -> None:
                 rep_speedups.append(
                     m_big["events_per_sec"] / m_small["events_per_sec"]
                 )
+
+        # ---- zone-map pruning + row-group skipping evidence ----------------
+        zone = zone_subprocess(BIG_SPEC, workdir)
 
         # ---- steady-state incremental CDC: small batches vs a big table ----
         inc_delta = incremental_subprocess(BIG_SPEC, journal_dir, workdir, "delta")
@@ -301,6 +331,8 @@ def main() -> None:
                 "reduce_stage_skew": r_big.get("reduce_stage"),
                 # steady-state small-batch ingest + write amplification
                 "incremental": incremental,
+                # measured bucket-pruning / row-group-skipping ratios
+                "zone_pruning": zone,
             },
         }
         if r_big.get("reduce_stage") is None:

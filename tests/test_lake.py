@@ -1293,6 +1293,38 @@ def test_delta_only_bucket_changes_sync_and_pruning(spark, tmp_path):
     assert none == 0
 
 
+def test_maybe_analyze_keeps_zone_maps_fresh_during_replay(spark, tmp_path):
+    """replay_journal's in-loop maintenance refreshes column stats/zone
+    maps via maybe_analyze (staleness = commits since last stats) — no CLI
+    or manual analyze() call — and pruned reads stay correct throughout."""
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.streaming.replay import replay_journal
+
+    jd, loc = str(tmp_path / "ma_j"), str(tmp_path / "ma_lake")
+    write_journal(spark, 4096, jd)
+    r = replay_journal(spark, jd, loc, chunk_events=512,
+                       analyze_stale_commits=3)
+    assert r["batches"] == 8
+    t = SnapshotTable(spark, loc)
+    stats = t.snapshot().get("properties", {}).get("column_stats")
+    assert stats is not None, "in-loop maintenance never analyzed"
+    # fresh: within the staleness budget of the final commit
+    assert t.current_version() - int(stats["snapshot_version"]) <= 4
+    # pruning works off the auto-refreshed zone maps and stays correct
+    pruned = t.prunable_buckets([("commit_seq", ">", 10 ** 12)])
+    assert pruned is not None
+    assert t.read(filters=[("commit_seq", ">", 10 ** 12)]).count() == 0
+    full = t.read().count()
+    assert t.read(filters=[("commit_seq", ">", -1)]).count() == full
+    # staleness hook is a no-op when fresh (no commit minted)
+    v = t.current_version()
+    assert t.maybe_analyze(max_commits_stale=16) is None
+    assert t.current_version() == v
+    # ...and fires once the budget is crossed
+    assert t.maybe_analyze(max_commits_stale=0) is not None
+    assert t.current_version() == v + 1
+
+
 def test_delta_commit_refuses_rebase_across_rebucket(spark, tmp_path):
     """A delta-mode batch racing a rebucket() must NOT rebase: its delta
     files are bucketed under the old n_buckets, so appending them to
