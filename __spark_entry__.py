@@ -2,7 +2,7 @@
 
 entry()      flagship query on sf0.001 (CDC LWW latest-state + enrichment)
 queries()    every implemented operator from SURVEY.md §2 (plans/queries.py)
-oracle_sql() matching DuckDB SQL for ALL 55 queries — including the
+oracle_sql() matching DuckDB SQL for EVERY registry query — including the
              hash-defined ops (minhash-LSH, simhash, hyperplane ANN via the
              SQL-expressible mix31 hash family) and IVF ANN (deterministic
              seed-row centroids; trained-kmeans mode verified separately in

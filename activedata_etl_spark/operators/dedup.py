@@ -305,34 +305,21 @@ def minhash_signatures(
     return base.select("id", sig.alias("signature"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    n: int = 3,
-    k: int = 64,
-    bands: int = 16,
-    threshold: float = 0.8,
-    seed: int = 7,
-    verify_exact: bool = True,
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """MinHash + LSH banding + (optional) exact-Jaccard verification.
+def _band_frame(
+    sig: DataFrame, hash_fn: str, k: int, bands: int
+) -> tuple[DataFrame, list[str]]:
+    """Explode a signature frame into one row per (id, band) with the band
+    key columns, repartitioned ON those keys.  Shared by the self-join LSH
+    (minhash_lsh_pairs) and the asymmetric batch-vs-corpus join
+    (incremental_dedup).
 
-    bands of r = k/bands rows; docs colliding in any band are candidates
-    (banded equi-join, never a cross join); candidates are then verified
-    with the exact n-gram Jaccard so the output has no false positives.
-
-    Band-key physicality follows hash_fn: "xxhash64" compresses each band's
-    r values into one 8-byte key (narrowest shuffle — the 10^9-doc path);
-    "mix31" joins on the raw r-value tuple, so the candidate set is exactly
-    reproducible in the DuckDB oracle (a hashed key could, with vanishing
-    probability, admit a colliding candidate the oracle lacks).
+    The repartition is deliberate: signatures are per-row HOF expressions
+    with no exchange of their own, so without it every join consumer would
+    recompute the whole k-hash subtree per side; with it the planner reuses
+    one shuffle (ReusedExchange) and the join is co-partitioned — hashing
+    happens exactly once per doc.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, seed=seed,
-                             hash_fn=hash_fn)
     if hash_fn == "mix31":
         band_structs = F.array(*[
             F.struct(*[
@@ -359,12 +346,37 @@ def minhash_lsh_pairs(
         ]
         banded = sig.select("id", F.posexplode_outer(F.array(*band_cols)).alias("band", "bh"))
         join_keys = ["band", "bh"]
-    # ONE exchange, aligned with the band join keys: signatures are per-row
-    # expressions (no shuffle of their own), so without this both self-join
-    # sides would recompute the whole k-hash signature subtree; with it the
-    # planner reuses a single shuffle (ReusedExchange) and the join is
-    # co-partitioned — hashing happens exactly once per doc.
-    banded = banded.repartition(*[F.col(c) for c in join_keys])
+    return banded.repartition(*[F.col(c) for c in join_keys]), join_keys
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 7,
+    verify_exact: bool = True,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash + LSH banding + (optional) exact-Jaccard verification.
+
+    bands of r = k/bands rows; docs colliding in any band are candidates
+    (banded equi-join, never a cross join); candidates are then verified
+    with the exact n-gram Jaccard so the output has no false positives.
+
+    Band-key physicality follows hash_fn: "xxhash64" compresses each band's
+    r values into one 8-byte key (narrowest shuffle — the 10^9-doc path);
+    "mix31" joins on the raw r-value tuple, so the candidate set is exactly
+    reproducible in the DuckDB oracle (a hashed key could, with vanishing
+    probability, admit a colliding candidate the oracle lacks).
+    """
+    sig = minhash_signatures(df, id_col, text_col, n=n, k=k, seed=seed,
+                             hash_fn=hash_fn)
+    banded, join_keys = _band_frame(sig, hash_fn, k, bands)
     left = banded.withColumnsRenamed({"id": "id_a"})
     right = banded.withColumnsRenamed({"id": "id_b"})
     cand = (
@@ -391,6 +403,100 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    near: bool = False,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Survivors of a NEW batch deduplicated against an existing corpus —
+    the steady-state shape of web-scale ingestion: the corpus is never
+    re-deduplicated; each increment is checked against it (and against
+    itself) and only survivors are appended.
+
+    Exact stage (always): a batch doc is dropped when its content sha256
+    appears in the corpus, or on a smaller-id doc of the batch itself.
+    Both sides reduce to one projected hash column; the corpus check is a
+    left_anti equi-join (no distinct — anti joins need none), the
+    within-batch check a min-id-per-hash window.  At 10^10 corpus docs,
+    materialize the corpus hash projection once (it is identical every
+    increment) and feed it here instead of the raw corpus.
+
+    Near stage (``near=True``): MinHash signatures for both sides, banded
+    ASYMMETRIC equi-join — batch bands against corpus bands, never a self
+    join over the union, so the shuffle carries O(batch + corpus bands)
+    rows and the candidate set is O(collisions with the batch).  Survivor
+    rule, greedy and order-independent: a batch doc is dropped iff it
+    verifies (exact n-gram Jaccard) >= threshold against ANY corpus doc or
+    any smaller-id batch doc.  With hash_fn='mix31' every stage is ANSI-SQL
+    reproducible (registry oracle `dedup_incremental`).
+
+    Returns the surviving batch rows with their original columns.
+
+    Reference analog: content-addressed blocks keyed by etl2key made
+    re-ingestion idempotent per block (activedata_etl/__init__.py:20-50);
+    this generalizes the idea to corpus-level content identity.
+    """
+    from pyspark.sql import Window as W
+
+    bh = F.sha2(F.col(text_col).cast("string"), 256)
+    hb = batch.withColumn("__h", bh)
+    # within-batch exact: first occurrence (min id) per hash survives
+    hb = hb.withColumn(
+        "__min_id", F.min(id_col).over(W.partitionBy("__h"))
+    ).where(F.col(id_col) == F.col("__min_id")).drop("__min_id")
+    survivors = hb.join(
+        corpus.select(bh.alias("__h")), "__h", "left_anti"
+    ).select(*batch.columns)
+    if not near:
+        return survivors
+    # near stage over the exact survivors (strictly fewer docs to sign)
+    sig_b = minhash_signatures(survivors, id_col, text_col, n=n, k=k,
+                               seed=seed, hash_fn=hash_fn)
+    sig_c = minhash_signatures(corpus, id_col, text_col, n=n, k=k,
+                               seed=seed, hash_fn=hash_fn)
+    bb, keys = _band_frame(sig_b, hash_fn, k, bands)
+    cb, _ = _band_frame(sig_c, hash_fn, k, bands)
+    cand_x = (
+        bb.withColumnsRenamed({"id": "id_b"})
+        .join(cb.withColumnsRenamed({"id": "id_c"}), keys)
+        .select("id_b", "id_c").distinct()
+    )
+    sh_b = shingled(survivors, id_col, text_col, n).repartition("id")
+    sh_c = shingled(corpus, id_col, text_col, n)
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size("sh_b") + F.size("sh_c") - inter
+    hit_corpus = (
+        cand_x
+        .join(sh_b.select(F.col("id").alias("id_b"),
+                          F.col("sh").alias("sh_b")), "id_b")
+        .join(sh_c.select(F.col("id").alias("id_c"),
+                          F.col("sh").alias("sh_c")), "id_c")
+        .where(F.round(inter / union, 6) >= threshold)
+        .select("id_b").distinct()
+    )
+    # within-batch near pairs: the standard self-join LSH on the batch only
+    pairs_b = minhash_lsh_pairs(
+        survivors, id_col, text_col, n=n, k=k, bands=bands,
+        threshold=threshold, seed=seed, hash_fn=hash_fn,
+    )
+    dropped_in_batch = pairs_b.select(F.col("id_b"))
+    drop = hit_corpus.unionByName(dropped_in_batch).distinct()
+    out = survivors.join(
+        drop.withColumnsRenamed({"id_b": id_col}), id_col, "left_anti"
+    )
+    # USING-join column hoist: left_anti reorders output columns — restore
+    return out.select(*batch.columns)
 
 
 def simhash(

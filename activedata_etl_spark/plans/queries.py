@@ -1149,6 +1149,107 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup, the steady-state ingestion
+    shape (operators/dedup.py:incremental_dedup): a synthetic increment of
+    exact corpus copies (doc_id%10, +1e6 ids), near-copies with one token
+    appended (doc_id%7, +2e6), and genuinely novel docs (doc_id%13, +3e6)
+    is deduplicated against the full corpus — only the novel docs survive.
+    hash_fn='mix31' makes exact hash, signatures, asymmetric banding, and
+    jaccard verification ANSI-SQL reproducible end to end."""
+    d = _t(spark, sf, "documents")
+    batch = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zznovel")).alias("text"),
+            ))
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("novel document number "),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" with unique token u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" and filler v"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            ))
+    )
+    out = DD.incremental_dedup(
+        d.select("doc_id", "text"), batch, "doc_id", "text",
+        near=True, n=3, k=64, bands=16, threshold=0.5, hash_fn="mix31",
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zznovel' FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000,
+         'novel document number ' || doc_id || ' with unique token u'
+         || doc_id || ' and filler v' || doc_id
+  FROM documents WHERE doc_id % 13 = 0
+),
+hb AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS first_id
+    FROM batch) WHERE doc_id = first_id
+),
+ex AS (
+  SELECT doc_id, text FROM hb
+  WHERE sha256(text) NOT IN (SELECT sha256(text) FROM corpus)
+),
+allside AS (
+  SELECT doc_id, text, 'b' AS side FROM ex
+  UNION ALL SELECT doc_id, text, 'c' FROM corpus
+),
+toks AS (
+  SELECT side, doc_id, regexp_extract_all(text, '\\S+') AS t FROM allside
+), shg AS (
+  SELECT side, doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), sized AS (SELECT side, doc_id, s, len(s) AS n_sh FROM shg WHERE len(s) > 0),
+exx AS (SELECT side, doc_id, unnest(s) AS shingle FROM sized),
+bm AS (SELECT side, doc_id,
+              ('0x' || substr(sha256(shingle), 1, 15))::BIGINT % {DD.MIX_P} AS b
+       FROM exx),
+consts(i, a, c) AS (VALUES {_MH_VALUES}),
+sig AS (
+  SELECT side, doc_id, i, min((a * b + c) % {DD.MIX_P}) AS v
+  FROM bm CROSS JOIN consts GROUP BY side, doc_id, i
+),
+bands AS (
+  SELECT side, doc_id, i // 4 AS band, list(v ORDER BY i) AS bv
+  FROM sig GROUP BY side, doc_id, i // 4
+),
+jac AS (
+  SELECT sa.doc_id AS id_b, sb.doc_id AS id_o, sb.side AS o_side,
+         round(len(list_intersect(sa.s, sb.s)) /
+               (sa.n_sh + sb.n_sh - len(list_intersect(sa.s, sb.s))), 6) AS j
+  FROM (SELECT DISTINCT x.doc_id AS id_b, y.doc_id AS id_o, y.side
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+        WHERE x.side = 'b' AND (y.side = 'c' OR
+              (y.side = 'b' AND y.doc_id < x.doc_id))) cand
+  JOIN sized sa ON sa.side = 'b' AND sa.doc_id = cand.id_b
+  JOIN sized sb ON sb.side = cand.side AND sb.doc_id = cand.id_o
+),
+dropd AS (SELECT DISTINCT id_b AS doc_id FROM jac WHERE j >= 0.5)
+SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+ORDER BY doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs.  hash_fn="mix31" makes the signature SQL-
     expressible; block-permutation banding is recall-lossless, so the oracle
@@ -1932,6 +2033,7 @@ SPARK_QUERIES = {
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
     "dedup_keep_list": dedup_keep_list,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -1992,6 +2094,7 @@ ORACLE_SQL = {
     "dedup_jaccard_clusters": ORACLE_JACCARD_CLUSTERS,
     "dedup_keep_list": ORACLE_DEDUP_KEEP_LIST,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,

@@ -662,6 +662,49 @@ def test_pack_sequences_matches_greedy_reference(spark):
         pack_sequences(df, "doc_id", "toks", 0)
 
 
+def test_incremental_dedup_exact_and_near(spark):
+    """Batch-vs-corpus dedup: exact stage drops corpus copies and
+    within-batch copies (first id wins); near stage additionally drops
+    near-dups of corpus docs and of smaller-id batch docs; novel docs
+    survive with original columns/order.  Works for string ids too."""
+    from activedata_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different corpus text alpha beta gamma delta")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "the quick brown fox jumps over the lazy dog tonight ok"),
+         (12, "entirely novel text about spark catalyst optimizer plans"),
+         (13, "entirely novel text about spark catalyst optimizer plans"),
+         (14, "entirely novel text about spark catalyst optimizer plans z"),
+         (15, "another unique document with its own words zeta eta theta")],
+        "doc_id long, text string")
+    ex = incremental_dedup(corpus, batch, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in ex.collect()) == [11, 12, 14, 15]
+    nr = incremental_dedup(corpus, batch, "doc_id", "text", near=True,
+                           threshold=0.5, hash_fn="mix31")
+    assert sorted(r["doc_id"] for r in nr.collect()) == [12, 15]
+    assert nr.columns == batch.columns
+    # same decision on the xxhash64 fast path (banding is seed-compatible)
+    nx = incremental_dedup(corpus, batch, "doc_id", "text", near=True,
+                           threshold=0.5)
+    assert sorted(r["doc_id"] for r in nx.collect()) == [12, 15]
+    # string ids: content decides, ids only break ties (smaller id wins)
+    sc = corpus.select(F.concat(F.lit("c-"), "doc_id").alias("doc_id"), "text")
+    sb = batch.select(F.concat(F.lit("b-"), "doc_id").alias("doc_id"), "text")
+    got = incremental_dedup(sc, sb, "doc_id", "text", near=True,
+                            threshold=0.5).collect()
+    assert sorted(r["doc_id"] for r in got) == ["b-12", "b-15"]
+    # idempotent: appending the survivors then re-running the same batch
+    # drops everything (the incremental invariant)
+    grown = corpus.unionByName(nr)
+    again = incremental_dedup(grown, batch, "doc_id", "text", near=True,
+                              threshold=0.5)
+    assert again.count() == 0
+
+
 def test_sampling_string_ids_parity_and_guard(spark):
     """String/UUID ids route through a hash residue: proportions and the
     nesting property match the numeric path; the sha mode matches an
