@@ -1512,6 +1512,32 @@ class SnapshotTable:
             return None
         return self.analyze(columns=columns)
 
+    def maybe_expire(
+        self,
+        max_snapshots: int = 64,
+        keep_last: int = 8,
+        orphan_grace_s: float = 3600.0,
+    ) -> list[str] | None:
+        """Maintenance hook: run :meth:`expire_snapshots` once the metadata
+        dir holds more than ``max_snapshots`` snapshot files — bounds
+        metadata growth (one JSON per commit, O(commits ever) otherwise)
+        without an external scheduler; the check is a driver-side listdir.
+        Returns the removed dirs, or None while under threshold.
+
+        Expiry deletes time-travel history, so ingest loops leave this
+        OPT-IN (``replay_journal(expire_max_snapshots=...)``) — unlike
+        ``maybe_compact``/``maybe_analyze``, which never drop state a
+        pinned reader could need beyond the already-documented snapshot
+        retention contract.
+        """
+        n = sum(1 for fn in os.listdir(self.meta_dir)
+                if re.fullmatch(r"v(\d+)\.json", fn))
+        if n <= max_snapshots:
+            return None
+        return self.expire_snapshots(
+            keep_last=keep_last, orphan_grace_s=orphan_grace_s
+        )
+
     # ---------------------------------------------------------------- misc
 
     def read_lineage(self) -> DataFrame:

@@ -95,6 +95,7 @@ def replay_journal(
     expected_rows: int | None = None,
     max_deltas_per_bucket: int | None = 16,
     analyze_stale_commits: int | None = 16,
+    expire_max_snapshots: int | None = None,
 ) -> dict:
     """Chunked batch replay of the whole journal (availableNow analog).
 
@@ -115,6 +116,12 @@ def replay_journal(
     the reference's background column-metadata daemon
     (`vendor/jx_elasticsearch/meta.py:546`) folded into the ingest loop.
     The per-batch check is O(1) driver-side; ``None`` disables it.
+
+    ``expire_max_snapshots`` (OPT-IN, default None) bounds metadata growth
+    on long replays: once the metadata dir exceeds that many snapshot
+    files, ``SnapshotTable.maybe_expire`` drops history beyond its
+    ``keep_last``.  Off by default because expiry deletes time-travel
+    state a concurrent pinned reader could still want.
 
     ``offset_range=(lo, hi)`` replays a bounded slice — the reference's
     backfill-by-key-range (`etl_one`/`parse_id_argument`,
@@ -233,6 +240,10 @@ def replay_journal(
             # background-stats analog: O(1) staleness check per batch, a
             # real ANALYZE only every analyze_stale_commits commits
             table.maybe_analyze(max_commits_stale=analyze_stale_commits)
+        if expire_max_snapshots is not None:
+            # OPT-IN (deletes time-travel history): bound metadata growth
+            # on long replays without an external scheduler
+            table.maybe_expire(max_snapshots=expire_max_snapshots)
         if not s.get("skipped"):
             total_read += s["rows_read"]
             total_applied += s["rows_applied"]
@@ -333,6 +344,7 @@ def stream_journal(
     timeout_sec: float | None = None,
     merge_mode: str = "auto",
     max_deltas_per_bucket: int | None = 16,
+    analyze_stale_commits: int | None = 16,
     export_es_dir: str | None = None,
 ):
     """Structured Streaming tail over the journal directory.
@@ -369,9 +381,11 @@ def stream_journal(
             merge_mode=merge_mode,
         )
         # same steady-state maintenance as chunked replay: bound each
-        # bucket's delta chain without an external scheduler
+        # bucket's delta chain + keep zone maps fresh, no external scheduler
         if s.get("merge_mode") == "delta" and max_deltas_per_bucket is not None:
             table.maybe_compact(max_deltas_per_bucket=max_deltas_per_bucket)
+        if analyze_stale_commits is not None and not s.get("skipped"):
+            table.maybe_analyze(max_commits_stale=analyze_stale_commits)
         if export_es_dir is not None:
             from activedata_etl_spark.sinks.es_bulk import export_changes
 

@@ -1325,6 +1325,37 @@ def test_maybe_analyze_keeps_zone_maps_fresh_during_replay(spark, tmp_path):
     assert t.current_version() == v + 1
 
 
+def test_maybe_expire_bounds_metadata_growth(spark, tmp_path):
+    """Opt-in in-loop expiry: a many-batch replay with
+    expire_max_snapshots keeps the metadata dir bounded (one JSON per
+    commit otherwise) and the converged table identical to an
+    expiry-free replay."""
+    import os as _os
+
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.streaming.replay import replay_journal
+
+    jd = str(tmp_path / "me_j")
+    write_journal(spark, 4096, jd)
+    loc_a, loc_b = str(tmp_path / "me_a"), str(tmp_path / "me_b")
+    replay_journal(spark, jd, loc_a, chunk_events=256,
+                   analyze_stale_commits=None)
+    replay_journal(spark, jd, loc_b, chunk_events=256,
+                   analyze_stale_commits=None, expire_max_snapshots=6)
+    a, b = SnapshotTable(spark, loc_a), SnapshotTable(spark, loc_b)
+    n_meta = lambda t: sum(  # noqa: E731
+        1 for f in _os.listdir(t.meta_dir) if f.endswith(".json"))
+    assert n_meta(a) >= 16        # one per batch, unbounded
+    assert n_meta(b) <= 12        # bounded by the hook (threshold + slack)
+    ka = {(r["repo"], r["path"], r["content_sha256"])
+          for r in a.read().collect()}
+    kb = {(r["repo"], r["path"], r["content_sha256"])
+          for r in b.read().collect()}
+    assert ka == kb
+    # under threshold: no-op
+    assert b.maybe_expire(max_snapshots=64) is None
+
+
 def test_delta_commit_refuses_rebase_across_rebucket(spark, tmp_path):
     """A delta-mode batch racing a rebucket() must NOT rebase: its delta
     files are bucketed under the old n_buckets, so appending them to

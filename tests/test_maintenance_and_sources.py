@@ -242,7 +242,9 @@ def test_rollover_write_is_single_scan(spark, tmp_path):
 def test_bulk_files_respect_batch_contract(spark, tmp_path):
     """Every part file holds <= batch_size docs (one file = one POST-able
     bulk body) with NO sizing count(): 9999 docs at batch 5000 used to land
-    in one 9999-doc file via floor division, after a full extra scan."""
+    in one 9999-doc file via floor division, after a full extra scan.
+    With an EXPLICIT version_scale the export is exactly one job; the auto
+    default pays one extra column-pruned max() job to size the scale."""
     import glob
 
     from activedata_etl_spark.sinks.es_bulk import write_bulk_files
@@ -257,7 +259,7 @@ def test_bulk_files_respect_batch_contract(spark, tmp_path):
     sc = spark.sparkContext
     sc.setJobGroup("bulk_write", "")
     try:
-        write_bulk_files(df, out, batch_size=5000)
+        write_bulk_files(df, out, batch_size=5000, version_scale=1_000_000)
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert len(sc.statusTracker().getJobIdsForGroup("bulk_write")) == 1
@@ -266,6 +268,18 @@ def test_bulk_files_respect_batch_contract(spark, tmp_path):
     ]
     assert sum(counts) == 9999
     assert max(counts) <= 5000
+    # auto scale: same file contract, bounded extra work (the sizing agg)
+    out2 = str(tmp_path / "bulk9999_auto")
+    sc.setJobGroup("bulk_write_auto", "")
+    try:
+        write_bulk_files(df, out2, batch_size=5000)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("bulk_write_auto")) <= 3
+    counts2 = [
+        sum(1 for _ in open(f)) // 2 for f in glob.glob(out2 + "/part-*")
+    ]
+    assert sum(counts2) == 9999 and max(counts2) <= 5000
 
 
 def _git_diff(path_a, path_b, a_text, b_text, extra_header=None):
