@@ -168,6 +168,43 @@ def quota_sample(
     return df.where(u < cut)
 
 
+def stratified_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    *,
+    seed: int = 404,
+    id_hash: str = "auto",
+) -> DataFrame:
+    """EXACTLY min(k, |group|) rows per group, chosen by deterministic
+    hash rank — the eval-set construction primitive ("512 held-out docs
+    per language").  ``quota_sample`` picks a RATE (count drifts with the
+    group); this picks a COUNT.
+
+    Rank = mix31(id) with the id itself as tiebreak, so membership is a
+    pure function of (id, group): stable under reruns, retries, and
+    layout changes, and NESTED — the k' < k sample is exactly the first
+    k' rows of the k sample (ablation ladders share documents).
+
+    One shuffle (the per-group window).  The rank is a full per-group
+    sort: fine when groups ≫ cores and bounded (languages, sources); for
+    a skewed giant group prefer ``quota_sample`` (rate, zero-shuffle) or
+    pre-filter with it before ranking.  Adds ``sample_rank`` (0-based).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window as W
+
+    ((a, c),) = mix_consts(seed, 1)
+    u = (_id_residue(df, id_col, id_hash=id_hash) * a + c) % MIX_P
+    w = W.partitionBy(group_col).orderBy(u, _id_order(df, id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w) - 1)
+        .where(F.col("sample_rank") < k)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -316,6 +353,7 @@ def contamination_pairs(
 __all__ = [
     "split_assign",
     "quota_sample",
+    "stratified_sample_k",
     "pack_sequences",
     "contamination_pairs",
     "fanout",

@@ -1794,6 +1794,42 @@ ORDER BY doc_id
 """
 
 
+def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-count per-group sampling (operators/sampling.py:
+    stratified_sample_k): 30 held-out docs per language, membership and
+    rank a pure (id, group) hash function — bit-reproducible in SQL."""
+    from activedata_etl_spark.operators.sampling import stratified_sample_k
+
+    d = _t(spark, sf, "documents")
+    return (
+        stratified_sample_k(d, "lang", 30, "doc_id")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("doc_id")
+    )
+
+
+def _strat_consts():
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(404, 1)
+    return a, c, MIX_P
+
+
+_STA, _STC, _STP = _strat_consts()
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) - 1
+              AS INTEGER) AS sample_rank
+  FROM (SELECT doc_id, lang,
+               (((doc_id % {_STP} + {_STP}) % {_STP}) * {_STA} + {_STC})
+               % {_STP} AS u
+        FROM documents))
+WHERE sample_rank < 30 ORDER BY doc_id
+"""
+
+
 PACK_BUDGET = 4096
 PACK_SHARDS = 8
 
@@ -2050,6 +2086,7 @@ SPARK_QUERIES = {
     "data_split_string_ids": data_split_string_ids,
     "contamination": contamination,
     "quota_sample": quota_sample,
+    "stratified_sample": stratified_sample_q,
     "pack_sequences": pack_sequences_q,
     "pii_scrub": pii_scrub_q,
     "text_dedup_paragraphs": dedup_paragraphs_q,
@@ -2111,6 +2148,7 @@ ORACLE_SQL = {
     "data_split_string_ids": ORACLE_DATA_SPLIT_STRING,
     "contamination": ORACLE_CONTAMINATION,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pii_scrub": ORACLE_PII_SCRUB,
     "text_dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,

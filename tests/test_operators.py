@@ -778,6 +778,46 @@ def test_sampling_string_ids_parity_and_guard(spark):
         split_assign(df, "doc_key", w, id_hash="md5")
 
 
+def test_stratified_sample_k_exact_nested_stable(spark):
+    """Exactly min(k, |group|) rows per group; the k'<k sample is a PREFIX
+    of the k sample (nesting); membership survives repartitioning; string
+    ids work; small groups return whole."""
+    from activedata_etl_spark.operators.sampling import stratified_sample_k
+
+    df = (
+        spark.range(0, 9000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("fr").alias("lang"),
+        )
+        # a tiny group: fewer rows than k
+        .unionByName(spark.createDataFrame(
+            [(100001, "eo"), (100002, "eo")], "doc_id long, lang string"))
+    )
+    s30 = stratified_sample_k(df, "lang", 30, "doc_id")
+    counts = {r["lang"]: r["count"]
+              for r in s30.groupBy("lang").count().collect()}
+    assert counts == {"en": 30, "de": 30, "fr": 30, "eo": 2}
+    assert s30.where("sample_rank >= 30 or sample_rank < 0").count() == 0
+    # nesting: k=10 is the rank-prefix of k=30
+    s10 = {(r["doc_id"]) for r in stratified_sample_k(
+        df, "lang", 10, "doc_id").collect()}
+    prefix = {(r["doc_id"]) for r in s30.where("sample_rank < 10").collect()}
+    assert s10 == prefix
+    # stability under layout changes
+    s30b = {r["doc_id"] for r in stratified_sample_k(
+        df.repartition(13), "lang", 30, "doc_id").collect()}
+    assert s30b == {r["doc_id"] for r in s30.collect()}
+    # string ids route through the hash layer
+    sdf = df.select(F.concat(F.lit("d-"), "doc_id").alias("doc_id"), "lang")
+    st = stratified_sample_k(sdf, "lang", 30, "doc_id")
+    assert st.groupBy("lang").count().where("count > 30").count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample_k(df, "lang", 0, "doc_id")
+
+
 def test_pack_sequences_string_ids_greedy_parity(spark):
     """pack_sequences over string ids equals the python greedy fold with
     sha-residue sharding and lexicographic within-shard order."""
