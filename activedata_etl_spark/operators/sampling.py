@@ -264,6 +264,54 @@ def pack_sequences(
     )
 
 
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    *,
+    default_weight: float = 1.0,
+    seed: int = 505,
+    id_hash: str = "auto",
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into one training
+    stream: adds ``mix_key`` (double); ordering — or range-partitioning —
+    by ``(mix_key, id)`` yields a stream that consumes source s at
+    ``weight_s`` times the base rate, with each source's documents
+    uniformly spread (no long single-source runs), until the source is
+    exhausted.  The standard data-mixing shape ("sample wiki at 3x, web
+    at 1x") without replacement.
+
+    mix_key = u / weight, u = mix31(id)/P uniform on [0, 1): a pure
+    per-row expression — ZERO shuffles here; the one range-partitioned
+    sort belongs to the consumer that writes the stream (it pays it
+    anyway to lay the order out).  A per-source row_number would instead
+    serialize each source through a single task at 10^10 rows.
+
+    Absolute composition targets (regardless of source size) compose:
+    ``quota_sample`` to the target sizes first, then interleave.  Rows
+    whose source has weight <= 0 are dropped (explicitly excluded).
+    IEEE double division is bit-identical across engines, so the key is
+    DuckDB-oracle-checkable (rounded to 9 places on both sides).
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be >= 0 (0 drops the source)")
+    ((a, c),) = mix_consts(seed, 1)
+    u = ((_id_residue(df, id_col, id_hash=id_hash) * a + c) % MIX_P) \
+        / F.lit(float(MIX_P))
+    w = F.lit(float(default_weight))
+    for name, wt in weights.items():
+        w = F.when(F.col(source_col) == name, float(wt)).otherwise(w)
+    # nullif, not a bare division: ANSI (Spark 4 default) raises
+    # DIVIDE_BY_ZERO even for doubles, and a weight-0 source must simply
+    # drop (null key), not kill the job
+    key = F.round(u / F.nullif(w, F.lit(0.0)), 9)
+    return (
+        df.withColumn("mix_key", key)
+        .where(F.col("mix_key").isNotNull())
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     test: DataFrame,

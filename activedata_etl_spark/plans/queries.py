@@ -1808,6 +1808,41 @@ def stratified_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def mix_sources_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted source interleave (operators/sampling.py:
+    interleave_sources): src0 upsampled 3x, src1 dropped (weight 0),
+    everything else at base rate; mix_key is a pure per-row hash
+    expression (zero shuffles) and IEEE-identical in SQL."""
+    from activedata_etl_spark.operators.sampling import interleave_sources
+
+    d = _t(spark, sf, "documents")
+    return (
+        interleave_sources(d, "source", {"src0": 3.0, "src1": 0.0}, "doc_id")
+        .select("doc_id", "source", "mix_key")
+        .orderBy("doc_id")
+    )
+
+
+def _mix_consts_505():
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(505, 1)
+    return a, c, MIX_P
+
+
+_MXA, _MXC, _MXP = _mix_consts_505()
+
+ORACLE_MIX_SOURCES = f"""
+SELECT doc_id, source,
+       round((((doc_id % {_MXP} + {_MXP}) % {_MXP}) * {_MXA} + {_MXC})
+             % {_MXP} / CAST({_MXP} AS DOUBLE)
+             / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.0
+                ELSE 1.0 END), 9) AS mix_key
+FROM documents WHERE source <> 'src1'
+ORDER BY doc_id
+"""
+
+
 def _strat_consts():
     from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
 
@@ -2087,6 +2122,7 @@ SPARK_QUERIES = {
     "contamination": contamination,
     "quota_sample": quota_sample,
     "stratified_sample": stratified_sample_q,
+    "mix_sources": mix_sources_q,
     "pack_sequences": pack_sequences_q,
     "pii_scrub": pii_scrub_q,
     "text_dedup_paragraphs": dedup_paragraphs_q,
@@ -2149,6 +2185,7 @@ ORACLE_SQL = {
     "contamination": ORACLE_CONTAMINATION,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "mix_sources": ORACLE_MIX_SOURCES,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pii_scrub": ORACLE_PII_SCRUB,
     "text_dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,

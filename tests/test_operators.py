@@ -818,6 +818,41 @@ def test_stratified_sample_k_exact_nested_stable(spark):
         stratified_sample_k(df, "lang", 0, "doc_id")
 
 
+def test_interleave_sources_rates_and_exhaustion(spark):
+    """mix_key orders a weighted without-replacement mix: a prefix of the
+    sorted stream consumes source s at ~weight_s x the base rate until
+    exhausted; weight 0 drops the source; each source spreads uniformly
+    (no long runs); deterministic under repartitioning."""
+    from activedata_etl_spark.operators.sampling import interleave_sources
+
+    n = 30_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "wiki")
+        .when(F.col("id") % 3 == 1, "web")
+        .otherwise("junk").alias("source"),
+    )
+    out = interleave_sources(
+        df, "source", {"wiki": 3.0, "junk": 0.0}, "doc_id")
+    rows = out.select("doc_id", "source", "mix_key").collect()
+    assert {r["source"] for r in rows} == {"wiki", "web"}  # junk dropped
+    ordered = sorted(rows, key=lambda r: (r["mix_key"], r["doc_id"]))
+    # early prefix: wiki consumed ~3x the web rate -> ~75% wiki
+    head = ordered[:2000]
+    frac = sum(1 for r in head if r["source"] == "wiki") / len(head)
+    assert 0.70 < frac < 0.80, frac
+    # after wiki exhausts (keys > 1/3 are web-only), the tail is pure web
+    tail = ordered[-2000:]
+    assert all(r["source"] == "web" for r in tail)
+    # deterministic: same keys under a different layout
+    again = {(r["doc_id"], r["mix_key"]) for r in interleave_sources(
+        df.repartition(7), "source", {"wiki": 3.0, "junk": 0.0},
+        "doc_id").collect()}
+    assert again == {(r["doc_id"], r["mix_key"]) for r in rows}
+    with pytest.raises(ValueError):
+        interleave_sources(df, "source", {"wiki": -1.0}, "doc_id")
+
+
 def test_pack_sequences_string_ids_greedy_parity(spark):
     """pack_sequences over string ids equals the python greedy fold with
     sha-residue sharding and lexicographic within-shard order."""
