@@ -1,6 +1,6 @@
 """Dataset-assembly operators for a training-data pipeline: deterministic
-splits, quota resampling, sequence packing, and train/test contamination
-detection.
+splits, quota resampling, exact-count stratified sampling, weighted source
+interleaving, sequence packing, and train/test contamination detection.
 
 The reference shards work by key hash (`activedata_etl/etl.py:438-446` spot
 workers over key ranges; ES routing by _id); a corpus pipeline needs the
@@ -402,6 +402,7 @@ __all__ = [
     "split_assign",
     "quota_sample",
     "stratified_sample_k",
+    "interleave_sources",
     "pack_sequences",
     "contamination_pairs",
     "fanout",
