@@ -1,3 +1,7 @@
+from activedata_etl_spark.operators.corpus import (  # noqa: F401
+    ngram_topk,
+    scrub_common_segments,
+)
 from activedata_etl_spark.operators.lww import (  # noqa: F401
     lww_reduce,
     lww_reduce_maxby,
@@ -7,7 +11,12 @@ from activedata_etl_spark.operators.lww import (  # noqa: F401
 )
 from activedata_etl_spark.operators.sampling import (  # noqa: F401
     contamination_pairs,
+    interleave_sources,
     pack_sequences,
     quota_sample,
     split_assign,
+    stratified_sample_k,
+)
+from activedata_etl_spark.operators.temporal import (  # noqa: F401
+    asof_join,
 )

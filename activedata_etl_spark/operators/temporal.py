@@ -1,0 +1,152 @@
+"""Temporal join operators: as-of join (point-in-time lookup).
+
+The reference resolves "state as of a moment" imperatively — e.g. pushes
+look up the last-seen changeset per branch before a given push
+(`vendor/mo_hg/hg_mozilla_org.py:179-236` walks revisions backward), and
+ETL keys embed the source timestamp so consumers re-derive "latest before
+X" per query.  A lake engine needs it as a FIRST-CLASS operator: for every
+probe row, attach the most recent build-side row at-or-before its
+timestamp, per key.
+
+Spark has no ASOF JOIN builtin.  The classic workarounds are a range join
+(explodes to O(probe x build) per key before filtering) or a windowed
+union — this module implements the union form because it is the only one
+whose cost is O((|L| + |R|) log) with exactly ONE shuffle:
+
+    tag probe/build rows -> union -> hash-partition by key ->
+    in-partition sort by (time, side, tiebreak) ->
+    running last(build_payload, ignorenulls) -> keep probe rows.
+
+The running ``last`` over ``rowsBetween(unboundedPreceding, currentRow)``
+is a streaming frame (Spark keeps O(1) state per partition, no buffering),
+so the whole operator is sort-merge shaped: it scales to 10^10 rows per
+the same arithmetic as the LWW reduce, and skewed keys respond to the
+same remedies (map-side pre-filter of probe-irrelevant builds, or salting
+with per-salt build replication — not built in; hot-key note below).
+
+Determinism: among build rows sharing the winning timestamp the LAST row
+in sort order wins, so pass ``tiebreak`` (e.g. a sequence column) to pin
+ties; with a unique (key, time, tiebreak) the result is exactly
+reproducible and DuckDB-oracle-checkable (``ASOF LEFT JOIN`` exists there
+natively, which is what the registry query compares against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str | None = None,
+    *,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the matching right row nearest in time.
+
+    - ``backward`` (default): the right row with the greatest
+      ``right_time`` <= ``left_time`` (per equi-key).  ``forward``: the
+      smallest ``right_time`` >= ``left_time``.  Non-strict on purpose
+      (equal timestamps match) — DuckDB/pandas ``merge_asof`` default.
+    - ``on``: equi-key column name(s), same names on both sides.
+    - ``right_cols``: right payload to attach (default: everything except
+      the key and time columns); each lands as ``<col><suffix>``, plus
+      the matched time itself as ``<right_time><suffix>``.
+    - ``tolerance``: maximum |time gap| in SECONDS (timestamps) or plain
+      column units (numerics); matches farther away become nulls.
+    - ``tiebreak``: right-side column breaking equal-time ties (greatest
+      value wins in both directions).  Without it, ties are
+      plan-nondeterministic — fine for analytics, not for oracles.
+    - null times never match: a null-time probe row comes back with null
+      payload, null-time build rows are dropped.
+
+    Hot keys: one key's rows sort within one partition.  A key carrying
+    billions of rows needs a coarser key (e.g. add a time bucket to ``on``
+    and probe the previous bucket's tail separately) — the same playbook
+    as the salted LWW reduce; not automated here.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+    payload_cols = (
+        list(right_cols)
+        if right_cols is not None
+        else [c for c in right.columns if c not in keys and c != rt]
+    )
+    out_time = f"{rt}{suffix}"
+    out_names = [f"{c}{suffix}" for c in payload_cols]
+    clash = ({out_time, *out_names} & set(left.columns)) | (
+        set(out_names) & {out_time}
+    )
+    if clash:
+        raise ValueError(f"suffixed output columns clash with left: {clash}")
+
+    payload = F.struct(
+        F.col(rt).alias("__t"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    payload_type = right.select(payload.alias("p")).schema[0].dataType
+    left_row = F.struct(*[F.col(c) for c in left.columns])
+    left_type = left.select(left_row.alias("l")).schema[0].dataType
+
+    tb_col = (
+        F.col(tiebreak) if tiebreak is not None else F.lit(0)
+    )
+    probe = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        left_row.alias("__l"),
+        F.lit(None).cast(payload_type).alias("__r"),
+    )
+    build = right.where(F.col(rt).isNotNull()).select(
+        *[F.col(k) for k in keys],
+        F.col(rt).alias("__t"),
+        F.lit(0).alias("__side"),
+        tb_col.cast("long").alias("__tb"),
+        F.lit(None).cast(left_type).alias("__l"),
+        payload.alias("__r"),
+    )
+    u = probe.unionByName(build)
+
+    # sort so every qualifying build row precedes its probes, with the
+    # winner (greatest time backward / least time forward; then greatest
+    # tiebreak) scanned LAST among qualifiers; nulls_first keeps null-time
+    # probes ahead of every build in BOTH directions (=> no match)
+    if direction == "backward":
+        ordering = [F.col("__t").asc_nulls_first()]
+    else:
+        ordering = [F.col("__t").desc_nulls_first()]
+    ordering += [F.col("__side").asc(), F.col("__tb").asc_nulls_first()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("__r", ignorenulls=True).over(w)
+
+    if tolerance is not None:
+        probe_t, match_t = F.col("__t"), m["__t"]
+        gap = (
+            probe_t.cast("double") - match_t.cast("double")
+            if direction == "backward"
+            else match_t.cast("double") - probe_t.cast("double")
+        )
+        m = F.when(gap <= F.lit(float(tolerance)), m)
+
+    matched = u.withColumn("__m", m).where(F.col("__side") == 1)
+    return matched.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        F.col("__m")["__t"].alias(out_time),
+        *[F.col("__m")[c].alias(n) for c, n in zip(payload_cols, out_names)],
+    )

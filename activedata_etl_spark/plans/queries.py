@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from activedata_etl_spark.functions import text as TX
+from activedata_etl_spark.operators import corpus as CP
 from activedata_etl_spark.operators import dedup as DD
+from activedata_etl_spark.operators import temporal as TP
 from activedata_etl_spark.operators import similarity as SIM
 from activedata_etl_spark.sources.tables import load_table
 
@@ -2062,6 +2064,112 @@ FROM e ORDER BY doc_id, chunk_idx
 """
 
 
+def q33_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each purchase event picks up the
+    user's most recent click at-or-before it.  Single-shuffle union +
+    running-last plan; the oracle is DuckDB's native ASOF LEFT JOIN.
+    (user_id, ts) is unique per event type in the testdata, so no tiebreak
+    is needed for determinism here; `tests/test_operators.py` pins the
+    tiebreak semantics on a constructed tie."""
+    e = _t(spark, sf, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = TP.asof_join(
+        p, c, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["value"], suffix="_click",
+    )
+    return j.select(
+        "event_id", "user_id", "value", "ts_click", "value_click"
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.value,
+       c.ts AS ts_click, c.value AS value_click
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# corpus-boilerplate floor: segments (words, for the space-separated
+# testdata) appearing in >= this many DISTINCT docs are template text.
+# Fixed absolute value so the same SQL string is the oracle at every sf
+# (300 = 60% of sf0.001's docs, 20% of sf0.01's).
+SCRUB_MIN_DOCS = 300
+
+
+def scrub_common_segments_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate removal (operators/corpus.py): drop
+    segments shared by >= SCRUB_MIN_DOCS distinct docs, rebuild each doc
+    in order.  The testdata's docs are space-separated word soup, so the
+    segment separator is ' ' here; a crawl corpus would use '\\n\\n'."""
+    d = _t(spark, sf, "documents")
+    return CP.scrub_common_segments(
+        d, "doc_id", "text", sep=" ", min_docs=SCRUB_MIN_DOCS
+    ).orderBy("doc_id")
+
+
+ORACLE_SCRUB_COMMON = f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS s
+  FROM documents WHERE text IS NOT NULL
+), segs AS (
+  SELECT doc_id, s[i] AS seg, i AS pos
+  FROM split, unnest(generate_series(1, len(s))) AS g(i)
+), common AS (
+  SELECT seg FROM segs GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= {SCRUB_MIN_DOCS}
+), kept AS (
+  SELECT doc_id, seg, pos FROM segs
+  WHERE seg NOT IN (SELECT seg FROM common)
+), rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS scrubbed,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NOT NULL
+            THEN coalesce(r.scrubbed, '') END AS scrubbed,
+       CAST(CASE WHEN d.text IS NOT NULL
+            THEN len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
+            END AS INTEGER) AS n_removed
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+NGRAM_TOPK_K = 25
+
+
+def ngram_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-k word trigrams by document frequency
+    (operators/corpus.py): one partial-agg shuffle + TakeOrdered top-k —
+    the global boilerplate-signal ranking."""
+    d = _t(spark, sf, "documents")
+    return CP.ngram_topk(d, "doc_id", "text", n=3, k=NGRAM_TOPK_K)
+
+
+ORACLE_NGRAM_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+SELECT shingle, count(*) AS n_docs FROM ex GROUP BY shingle
+ORDER BY n_docs DESC, shingle ASC LIMIT {NGRAM_TOPK_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2127,6 +2235,9 @@ SPARK_QUERIES = {
     "pii_scrub": pii_scrub_q,
     "text_dedup_paragraphs": dedup_paragraphs_q,
     "text_chunks": chunk_docs_q,
+    "q33_asof_join": q33_asof_join,
+    "scrub_common_segments": scrub_common_segments_q,
+    "ngram_topk": ngram_topk_q,
 }
 
 ORACLE_SQL = {
@@ -2190,4 +2301,7 @@ ORACLE_SQL = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "text_dedup_paragraphs": ORACLE_DEDUP_PARAGRAPHS,
     "text_chunks": ORACLE_CHUNK_DOCS,
+    "q33_asof_join": ORACLE_ASOF_JOIN,
+    "scrub_common_segments": ORACLE_SCRUB_COMMON,
+    "ngram_topk": ORACLE_NGRAM_TOPK,
 }

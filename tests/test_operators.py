@@ -989,3 +989,153 @@ def test_chunk_text_boundaries_and_pack_composition(spark):
     assert packed.where(
         (F.col("tok_offset") < 0) | (F.col("tok_offset") >= 256)
     ).count() == 0
+
+
+def test_asof_join_backward_semantics_and_ties(spark):
+    """Backward as-of: greatest build time <= probe time; equal timestamps
+    match (non-strict); equal-time ties break toward the greatest
+    tiebreak; probes before any build get nulls."""
+    from activedata_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 5), (3, "k", 4), (4, "z", 7), (5, "k", 2)],
+        "pid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        # two builds at t=5 for key k: tiebreak must pick seq=21
+        [("k", 3, 20, "a"), ("k", 5, 21, "b"), ("k", 5, 19, "c"),
+         ("k", 8, 22, "d"), ("z", 9, 23, "e")],
+        "k string, t long, seq long, payload string",
+    )
+    out = {
+        r["pid"]: (r["t_asof"], r["payload_asof"])
+        for r in asof_join(
+            left, right, on="k", left_time="t",
+            right_cols=["payload"], tiebreak="seq",
+        ).collect()
+    }
+    assert out[1] == (8, "d")       # latest at-or-before 10
+    assert out[2] == (5, "b")       # tie at t=5 -> max seq wins
+    assert out[3] == (3, "a")
+    assert out[4] == (None, None)   # z's only build is at t=9 > 7
+    assert out[5] == (None, None)   # before k's earliest build (t=3)
+
+
+def test_asof_join_forward_tolerance_and_null_times(spark):
+    from activedata_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 100), (3, "k", None)],
+        "pid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 12, "near"), ("k", 180, "far"), ("k", None, "nullt")],
+        "k string, t long, payload string",
+    )
+    fwd = {
+        r["pid"]: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", direction="forward",
+            right_cols=["payload"],
+        ).collect()
+    }
+    assert fwd == {1: "near", 2: "far", 3: None}
+    # tolerance nulls the distant match; null-time build rows are dropped
+    tol = {
+        r["pid"]: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", direction="forward",
+            right_cols=["payload"], tolerance=50,
+        ).collect()
+    }
+    assert tol == {1: "near", 2: None, 3: None}
+
+
+def test_asof_join_column_clash_raises(spark):
+    from activedata_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10, "x")],
+                                 "pid long, k string, t long, v_asof string")
+    right = spark.createDataFrame([("k", 5, "y")],
+                                  "k string, t long, v string")
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on="k", left_time="t", right_cols=["v"])
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The whole operator is ONE exchange (hash by key) + one sort — the
+    scale contract: no range-join explosion, no second shuffle."""
+    from activedata_etl_spark.operators.temporal import asof_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("t"))
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 5).alias("t"),
+        F.col("id").alias("v"))
+    plan = asof_join(
+        left, right, on="k", left_time="t", right_cols=["v"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scrub_common_segments_positions_and_edges(spark):
+    """Common segments vanish, survivors keep order; all-common docs come
+    back '', null text stays null, n_removed accounts exactly."""
+    from activedata_etl_spark.operators.corpus import scrub_common_segments
+
+    rows = [
+        (1, "HEADER\n\nalpha\n\nFOOTER"),
+        (2, "HEADER\n\nbeta\n\nFOOTER"),
+        (3, "HEADER\n\nFOOTER"),
+        (4, "gamma\n\ndelta"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["scrubbed"], r["n_removed"])
+        for r in scrub_common_segments(
+            df, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    assert out[1] == ("alpha", 2)
+    assert out[2] == ("beta", 2)
+    assert out[3] == ("", 2)        # emptied, never dropped
+    assert out[4] == ("gamma\n\ndelta", 0)
+    assert out[5] == (None, None)
+    with pytest.raises(ValueError, match="min_docs"):
+        scrub_common_segments(df, "doc_id", "text", min_docs=1)
+
+
+def test_scrub_common_segments_literal_separator(spark):
+    """sep is literal, not regex: '.' must split on dots only."""
+    from activedata_etl_spark.operators.corpus import scrub_common_segments
+
+    df = spark.createDataFrame(
+        [(1, "ab.cd"), (2, "ab.xy")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["scrubbed"]
+        for r in scrub_common_segments(
+            df, "doc_id", "text", sep=".", min_docs=2
+        ).collect()
+    }
+    assert out == {1: "cd", 2: "xy"}
+
+
+def test_ngram_topk_counts_doc_frequency_not_occurrences(spark):
+    from activedata_etl_spark.operators.corpus import ngram_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # trigram 'a b c' repeats IN-doc
+         (2, "a b c x y z"),
+         (3, "x y z q r s")],
+        "doc_id long, text string",
+    )
+    rows = ngram_topk(df, "doc_id", "text", n=3, k=2).collect()
+    top = {r["shingle"]: r["n_docs"] for r in rows}
+    # doc frequency: 'a b c' in docs {1,2} = 2, 'x y z' in {2,3} = 2 —
+    # in-doc repetition must NOT inflate the count
+    assert top == {"a b c": 2, "x y z": 2}
+    # deterministic tie order: n_docs desc, shingle asc
+    assert [r["shingle"] for r in rows] == ["a b c", "x y z"]
