@@ -19,4 +19,6 @@ from activedata_etl_spark.operators.sampling import (  # noqa: F401
 )
 from activedata_etl_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    range_join,
+    sessionize,
 )

@@ -150,3 +150,151 @@ def asof_join(
         F.col("__m")["__t"].alias(out_time),
         *[F.col("__m")[c].alias(n) for c, n in zip(payload_cols, out_names)],
     )
+
+
+_TIME_DTYPES = {"timestamp", "timestamp_ntz", "date"}
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | list[str],
+    time_col: str,
+    gap: float,
+    *,
+    order_cols: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids: per key, a new session starts when
+    the time since the PREVIOUS row exceeds ``gap`` (seconds for
+    timestamp columns, plain units for numerics).  Adds ``out_col`` —
+    1-based per-key session index; every input column passes through.
+
+    The batch analog of Structured Streaming's session window (the
+    streaming side lives in `streaming/stateful.py`'s stateful counters):
+    lag + running sum over ONE per-key sort — Catalyst computes both
+    window functions over a single shuffle + sort, so this is exactly as
+    scalable as the LWW reduce.  A strictly-greater comparison on
+    purpose: a row landing exactly ``gap`` after its predecessor still
+    extends the session (pandas/Flink convention).
+
+    ``order_cols`` break equal-timestamp ordering ties (recommend the
+    event id); null times sort first and extend nothing — they join the
+    key's first session.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if out_col in df.columns:
+        raise ValueError(f"{out_col!r} already exists")
+    order = [F.col(time_col).asc_nulls_first()] + [
+        F.col(c) for c in (order_cols or [])
+    ]
+    w_lag = Window.partitionBy(*keys).orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(time_col).over(w_lag)
+    dtype = dict(df.dtypes)[time_col]
+    if dtype in _TIME_DTYPES:
+        fresh = F.col(time_col) > prev + F.make_interval(
+            secs=F.lit(float(gap))
+        )
+    else:
+        fresh = (F.col(time_col) - prev) > F.lit(gap)
+    new_session = prev.isNull() | F.coalesce(fresh, F.lit(False))
+    return df.withColumn(
+        out_col, F.sum(new_session.cast("int")).over(w_run)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    *,
+    bucket_width: float,
+    right_cols: list[str] | None = None,
+    suffix: str = "_rj",
+) -> DataFrame:
+    """Point-in-interval join: each left row pairs with EVERY right row
+    whose ``[right_start, right_end]`` (inclusive both ends) contains its
+    ``left_time``, per equi-key.  Inner semantics — non-matching left
+    rows drop (wrap with a left join on a key if needed).
+
+    Spark turns a plain non-equi condition into a per-key cross product
+    (BroadcastNestedLoopJoin at worst).  This instead quantizes time into
+    ``bucket_width`` cells: an interval explodes to the cells it covers,
+    a point belongs to EXACTLY ONE cell, and the join becomes a hash
+    equi-join on (key, cell) + exact containment filter — no duplicate
+    elimination needed (one cell per point), no quadratic blowup.  Sized
+    right, intervals span O(1) cells: pick ``bucket_width`` ~ the typical
+    interval length (cells per interval = len/width + 1).
+
+    Timestamps quantize via their epoch-microsecond value; numerics
+    directly.  Null times / null interval endpoints never match.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = (
+        list(right_cols)
+        if right_cols is not None
+        else [
+            c for c in right.columns
+            if c not in keys and c not in (right_start, right_end)
+        ]
+    )
+    out_names = {c: f"{c}{suffix}" for c in (right_start, right_end, *payload_cols)}
+    clash = set(out_names.values()) & set(left.columns)
+    if clash:
+        raise ValueError(f"suffixed output columns clash with left: {clash}")
+
+    def cell(col: F.Column, dtype: str) -> F.Column:
+        num = (
+            col.cast("double")
+            if dtype not in _TIME_DTYPES
+            # NTZ has no unix_* accessor: microseconds via a long cast of
+            # the seconds-precision cast is lossy, so go through string-
+            # free arithmetic — cast to double epoch is exact to micros
+            # for 21st-century timestamps (< 2^53 us)
+            else col.cast("timestamp").cast("double")
+        )
+        return F.floor(num / F.lit(float(bucket_width))).cast("long")
+
+    ldt = dict(left.dtypes)[left_time]
+    rdt_s = dict(right.dtypes)[right_start]
+    rdt_e = dict(right.dtypes)[right_end]
+
+    l2 = left.withColumn("__cell", cell(F.col(left_time), ldt)).where(
+        F.col(left_time).isNotNull()
+    )
+    r_cells = F.sequence(
+        cell(F.col(right_start), rdt_s), cell(F.col(right_end), rdt_e)
+    )
+    # alias right's columns BEFORE the join so a left column sharing a
+    # right column's name can never go ambiguous post-join
+    r2 = (
+        right.where(
+            F.col(right_start).isNotNull()
+            & F.col(right_end).isNotNull()
+            & (F.col(right_start) <= F.col(right_end))
+        )
+        .select(
+            *[F.col(k) for k in keys],
+            F.col(right_start).alias(out_names[right_start]),
+            F.col(right_end).alias(out_names[right_end]),
+            *[F.col(c).alias(out_names[c]) for c in payload_cols],
+            F.explode(r_cells).alias("__cell"),
+        )
+    )
+    joined = l2.join(r2, [*keys, "__cell"]).where(
+        (F.col(left_time) >= F.col(out_names[right_start]))
+        & (F.col(left_time) <= F.col(out_names[right_end]))
+    )
+    # USING-join hoists key columns to the front: re-select explicitly
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.col(out_names[c])
+            for c in (right_start, right_end, *payload_cols)
+        ],
+    )

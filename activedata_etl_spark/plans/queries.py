@@ -2170,6 +2170,82 @@ ORDER BY n_docs DESC, shingle ASC LIMIT {NGRAM_TOPK_K}
 """
 
 
+def q34_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (operators/temporal.py:sessionize): 30-min
+    inactivity gap per user, then per-session stats.  lag + running sum
+    share ONE per-key sort/shuffle."""
+    e = _t(spark, sf, "events")
+    s = TP.sessionize(e, "user_id", "ts", 1800.0, order_cols=["event_id"])
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events", "session_start", "session_end", "total_value",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start,
+       max(ts) AS session_end, round(sum(value), 6) AS total_value
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q35_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join (operators/temporal.py:range_join): clicks
+    inside +/-30-min incident windows around each error event, per user.
+    Cell-quantized equi-join — never a per-key cross product."""
+    e = _t(spark, sf, "events")
+    err = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.col("ts") - F.make_interval(secs=F.lit(1800.0))).alias("w_start"),
+        (F.col("ts") + F.make_interval(secs=F.lit(1800.0))).alias("w_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    rj = TP.range_join(
+        clicks, err, on="user_id", left_time="ts",
+        right_start="w_start", right_end="w_end",
+        bucket_width=3600.0, right_cols=["err_id"],
+    )
+    return rj.select("event_id", "user_id", "err_id_rj").orderBy(
+        "event_id", "err_id_rj"
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH err AS (SELECT user_id, event_id AS err_id,
+                    ts - INTERVAL 30 MINUTE AS w_start,
+                    ts + INTERVAL 30 MINUTE AS w_end
+             FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, err.err_id AS err_id_rj
+FROM c JOIN err ON c.user_id = err.user_id
+               AND c.ts >= err.w_start AND c.ts <= err.w_end
+ORDER BY 1, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2238,6 +2314,8 @@ SPARK_QUERIES = {
     "q33_asof_join": q33_asof_join,
     "scrub_common_segments": scrub_common_segments_q,
     "ngram_topk": ngram_topk_q,
+    "q34_sessionize": q34_sessionize,
+    "q35_range_join": q35_range_join,
 }
 
 ORACLE_SQL = {
@@ -2304,4 +2382,6 @@ ORACLE_SQL = {
     "q33_asof_join": ORACLE_ASOF_JOIN,
     "scrub_common_segments": ORACLE_SCRUB_COMMON,
     "ngram_topk": ORACLE_NGRAM_TOPK,
+    "q34_sessionize": ORACLE_SESSIONIZE,
+    "q35_range_join": ORACLE_RANGE_JOIN,
 }

@@ -1139,3 +1139,96 @@ def test_ngram_topk_counts_doc_frequency_not_occurrences(spark):
     assert top == {"a b c": 2, "x y z": 2}
     # deterministic tie order: n_docs desc, shingle asc
     assert [r["shingle"] for r in rows] == ["a b c", "x y z"]
+
+
+def test_sessionize_gap_semantics(spark):
+    """New session iff time since previous row EXCEEDS the gap (exactly
+    gap extends); numeric time columns use plain units; session ids are
+    1-based per key; nulls join the first session."""
+    from activedata_etl_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u", 0, 1), ("u", 10, 2), ("u", 20, 3),     # gap=10: all chained
+        ("u", 31, 4),                                 # 11 > 10 -> new
+        ("v", 5, 5), ("v", 100, 6), ("v", None, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, eid long")
+    out = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(df, "k", "t", 10, order_cols=["eid"]).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 2
+    assert out[5] == 2 and out[6] == 3   # null-t row 7 is v's FIRST row
+    assert out[7] == 1
+    with pytest.raises(ValueError, match="already exists"):
+        sessionize(df.withColumnRenamed("eid", "session_id"), "k", "t", 10)
+
+
+def test_sessionize_single_shuffle_plan(spark):
+    """lag + running sum must share one exchange+sort (scale contract)."""
+    from activedata_etl_spark.operators.temporal import sessionize
+
+    df = spark.range(1000).select(
+        (F.col("id") % 13).alias("k"), (F.col("id") * 7 % 997).alias("t"),
+        F.col("id").alias("eid"))
+    plan = sessionize(df, "k", "t", 10, order_cols=["eid"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1
+
+
+def test_range_join_containment_and_multimatch(spark):
+    """Inclusive endpoints; a point matches EVERY covering interval; a
+    wide interval spanning many cells matches without duplicates."""
+    from activedata_etl_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 99), (4, "z", 10)],
+        "pid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 25, "a"),      # endpoints inclusive both sides
+         ("k", 20, 120, "b"),     # spans many width-7 cells
+         ("k", 26, 28, "c"),
+         ("z", 50, 60, "d")],
+        "k string, s long, e long, tag string",
+    )
+    out = sorted(
+        (r["pid"], r["tag_rj"])
+        for r in range_join(
+            left, right, on="k", left_time="t",
+            right_start="s", right_end="e", bucket_width=7,
+            right_cols=["tag"],
+        ).collect()
+    )
+    assert out == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    """Cell-quantized plan == the naive non-equi join, on random data."""
+    from activedata_etl_spark.operators.temporal import range_join
+
+    left = spark.range(300).select(
+        F.col("id").alias("pid"), (F.col("id") % 5).alias("k"),
+        (F.col("id") * 37 % 500).alias("t"))
+    right = spark.range(80).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 53 % 450).alias("s"),
+        ((F.col("id") * 53 % 450) + (F.col("id") % 60)).alias("e"),
+        F.col("id").alias("rid"))
+    got = {
+        (r["pid"], r["rid_rj"])
+        for r in range_join(left, right, on="k", left_time="t",
+                            right_start="s", right_end="e",
+                            bucket_width=25, right_cols=["rid"]).collect()
+    }
+    want = {
+        (r["pid"], r["rid"])
+        for r in left.alias("l").join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("l.t") >= F.col("r.s"))
+            & (F.col("l.t") <= F.col("r.e")),
+        ).select("l.pid", "r.rid").collect()
+    }
+    assert got == want and len(got) > 50
