@@ -230,12 +230,126 @@ class SnapshotTable:
         ]
         return max(vs) if vs else None
 
-    def snapshot(self, version: int | None = None) -> dict:
+    def snapshot(self, version: int | str | None = None) -> dict:
+        """Snapshot metadata; ``version`` may be an int, None (current),
+        or a TAG NAME (resolved through the current snapshot's tag map) —
+        so every version-pinnable surface (read / changes / rollback /
+        lookup) accepts tags for free."""
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshot at {self.location}")
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return json.load(f)
+
+    def tags(self) -> dict[str, int]:
+        """Named refs -> snapshot version (Iceberg tag analog)."""
+        props = self.snapshot().get("properties", {})
+        return {k: int(v) for k, v in props.get("tags", {}).items()}
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(
+                f"no tag {name!r} on {self.location} (tags: {sorted(t)})")
+        return t[name]
+
+    def tag(self, name: str, version: int | None = None,
+            max_retries: int = 5) -> int:
+        """Pin ``name`` to a snapshot version (default: current).  Tagged
+        versions survive :meth:`expire_snapshots` regardless of age — the
+        audit/repro ref pattern (Iceberg ``createTag``).  Metadata-only
+        CAS commit; the tag map is re-merged from the fresh snapshot on
+        every retry so concurrent taggers never clobber each other."""
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            v = snap["version"] if version is None else int(version)
+            # fail loudly on a dangling ref: the target must still exist
+            if not os.path.exists(os.path.join(self.meta_dir, f"v{v}.json")):
+                raise FileNotFoundError(
+                    f"cannot tag {name!r}: no snapshot v{v} at {self.location}")
+            new = dict(snap)
+            new["version"] = snap["version"] + 1
+            new["parent"] = snap["version"]
+            new["ts_ms"] = int(time.time() * 1000)
+            tags = dict(snap.get("properties", {}).get("tags", {}))
+            tags[name] = v
+            new["properties"] = dict(snap.get("properties", {}), tags=tags)
+            try:
+                self._commit_snapshot(new)
+                return v
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"tag({name!r}) at {self.location} lost {max_retries} commit races")
+
+    def drop_tag(self, name: str, max_retries: int = 5) -> None:
+        for _ in range(max_retries):
+            snap = self.snapshot()
+            tags = dict(snap.get("properties", {}).get("tags", {}))
+            if name not in tags:
+                return
+            del tags[name]
+            new = dict(snap)
+            new["version"] = snap["version"] + 1
+            new["parent"] = snap["version"]
+            new["ts_ms"] = int(time.time() * 1000)
+            new["properties"] = dict(snap.get("properties", {}), tags=tags)
+            try:
+                self._commit_snapshot(new)
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"drop_tag({name!r}) at {self.location} lost {max_retries} commit races")
+
+    def rollback(self, to_version: int | str, max_retries: int = 5) -> int:
+        """Restore the table to an older snapshot's state by committing a
+        NEW version whose content (schema, bucket pointers, delta chains,
+        row accounting, WATERMARKS, batch fence) is the target's — history
+        stays linear and auditable (Iceberg ``rollback_to_snapshot``).
+
+        Watermarks and batch_id roll back WITH the data on purpose: the
+        exactly-once fence must describe the restored state, so the next
+        :func:`replay_journal` re-applies exactly the events the rollback
+        discarded — state and fence can never disagree.  Sync/export
+        cursors in properties also revert (downstream consumers re-receive
+        the rolled-back range — idempotent by the LWW merge contract);
+        tags are re-merged from the current snapshot so refs never vanish.
+
+        The target snapshot file must still exist (``expire_snapshots``
+        prunes old untagged versions — tag a version to make it a durable
+        rollback point).  Data dirs are never touched; the new head simply
+        re-references the old dirs, which re-pins them against expiry.
+        """
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            tv = (self.resolve_tag(to_version)
+                  if isinstance(to_version, str) else int(to_version))
+            if tv > cur["version"]:
+                raise ValueError(
+                    f"rollback target v{tv} is newer than "
+                    f"current v{cur['version']}")
+            tgt = self.snapshot(tv)
+            new = dict(tgt)
+            new["version"] = cur["version"] + 1
+            new["parent"] = cur["version"]
+            new["ts_ms"] = int(time.time() * 1000)
+            props = dict(tgt.get("properties", {}))
+            tags = dict(props.get("tags", {}),
+                        **cur.get("properties", {}).get("tags", {}))
+            if tags:
+                props["tags"] = tags
+            props["rolled_back_to"] = tgt["version"]
+            new["properties"] = props
+            try:
+                self._commit_snapshot(new)
+                return new["version"]
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"rollback at {self.location} lost {max_retries} commit races")
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.snapshot()["schema"])
@@ -1314,6 +1428,8 @@ class SnapshotTable:
         if cur is None:
             return []
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        # tagged versions are durable refs: immune to age-based expiry
+        keep_versions.update(self.tags().values())
         live_dirs: set[str] = set()
         referenced: set[str] = set()  # by ANY snapshot file, kept or not
         for fn in os.listdir(self.meta_dir):

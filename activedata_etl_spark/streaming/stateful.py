@@ -103,3 +103,44 @@ def windowed_event_counts(
             key_col, "n_events", "n_deletes",
         )
     )
+
+
+def session_event_stats(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 seconds",
+    key_col: str = "repo",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based SESSION windows over the event stream — Spark's native
+    ``session_window`` (dynamic, per-key merging windows), the streaming
+    twin of the batch `operators.temporal.sessionize`.
+
+    The engine merges overlapping per-key windows as events arrive and
+    finalizes a session once the watermark passes its close (start of the
+    last event + ``gap``); append mode emits exactly one row per closed
+    session.  State is bounded by the watermark like the tumbling variant;
+    same monitoring-not-system-of-record caveat.  Batch mode runs the
+    identical expression (tested for streaming==batch parity), so one
+    definition serves live dashboards and backfills.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("commit_seq").alias("max_commit_seq"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key_col, "n_events", "max_commit_seq",
+        )
+    )

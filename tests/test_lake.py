@@ -1412,3 +1412,76 @@ def test_history_base_rows_zero_vs_unknown(spark, tmp_path):
     assert table.read().count() == 0
     newest = table.history()[0]
     assert newest["base_rows"] == 0          # tracked-and-empty, not None
+
+
+def test_rollback_restores_state_and_fence(spark, tmp_path):
+    """rollback commits a NEW version equal to the target snapshot:
+    data, schema, AND the exactly-once fence (watermarks/batch_id) — so
+    a post-rollback replay re-applies exactly the discarded events."""
+    loc = str(tmp_path / "lake_rb")
+    table = _mk_base(spark, loc, n=10)
+    v1 = table.current_version()
+    wm1 = table.watermarks()
+
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f3.py", "d" * 12, None, "NEW", None,
+          "100644"),
+         (0, 101, 101, "insert", "r", "g.py", "d" * 12, None, "G", None,
+          "100644")],
+        COLS_V2,
+    )
+    apply_batch(table, _norm(b1), 1)
+    assert {r["path"]: r["content"] for r in table.read().collect()}["f3.py"] == "NEW"
+
+    v_rb = table.rollback(v1)
+    assert v_rb == table.current_version() and v_rb > v1  # history is linear
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["f3.py"] == "X" * 50 and "g.py" not in got and len(got) == 10
+    assert "mode" not in table.schema().fieldNames()   # schema rolled back
+    assert table.watermarks() == wm1                   # fence rolled back
+    assert table.last_batch_id() == 0
+    # fence consistency: re-applying the discarded batch lands it again
+    apply_batch(table, _norm(b1), 1)
+    assert {r["path"] for r in table.read().collect()} >= {"f3.py", "g.py"}
+    # rolling back to a FUTURE version is a loud error
+    with pytest.raises(ValueError, match="newer"):
+        table.rollback(table.current_version() + 5)
+
+
+def test_tags_pin_versions_through_expiry(spark, tmp_path):
+    """A tagged snapshot survives expire_snapshots; reads and rollback
+    resolve the tag name; drop_tag releases it for expiry."""
+    loc = str(tmp_path / "lake_tag")
+    table = _mk_base(spark, loc, n=6)
+    v1 = table.current_version()
+    table.tag("golden")                       # pins v1
+    assert table.tags() == {"golden": v1}
+
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "delete", "r", "f0.py", "d" * 12, None, None, None)],
+        COLS_V1,
+    )
+    apply_batch(table, _norm(b1), 1)
+    apply_batch(table, _norm(b1.withColumn("offset", F.col("offset") + 50)
+                             .withColumn("commit_seq", F.col("commit_seq") + 50)), 2)
+
+    removed = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert f"metadata/v{v1}.json" not in removed       # tag pinned it
+    by_tag = {r["path"] for r in table.read(version="golden").collect()}
+    assert "f0.py" in by_tag and len(by_tag) == 6      # tag read = old state
+
+    v_rb = table.rollback("golden")                    # rollback via tag
+    assert {r["path"] for r in table.read().collect()} == by_tag
+    assert table.tags()["golden"] == v1                # ref survives rollback
+    assert table.snapshot()["properties"]["rolled_back_to"] == v1
+
+    table.drop_tag("golden")
+    assert table.tags() == {}
+    with pytest.raises(KeyError, match="golden"):
+        table.read(version="golden")
+    removed = table.expire_snapshots(keep_last=1, orphan_grace_s=0.0)
+    assert f"metadata/v{v1}.json" in removed           # now expirable
+    # dangling-ref guard: tagging a pruned version fails loudly
+    with pytest.raises(FileNotFoundError):
+        table.tag("bad", v1)
+    assert v_rb < table.current_version() + 1

@@ -270,3 +270,59 @@ def test_windowed_event_counts_watermark(spark, tmp_path):
         | (F.col("g.n_events") < 1)
     )
     assert bad.count() == 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native session windows (gap-merged, watermark-finalized): every
+    append-mode emitted session must match its batch-computed twin
+    (same expression run as a plain aggregate), modulo watermark drops."""
+    from activedata_etl_spark.journal import write_journal
+    from activedata_etl_spark.streaming.stateful import session_event_stats
+    from pyspark.sql import functions as F
+
+    jd = str(tmp_path / "journal_sw")
+    out = str(tmp_path / "out_sw")
+    ck = str(tmp_path / "ck_sw")
+    write_journal(spark, 1024, jd)
+    static = spark.read.parquet(jd)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 4).parquet(jd + "/*")
+    )
+    q = (
+        session_event_stats(stream, gap="5 minutes",
+                            watermark_delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # batch twin: the SAME operator body on the static frame
+    want = session_event_stats(static, gap="5 minutes")
+    # file-stream arrival order can split/finalize sessions early (late
+    # events dropped by the watermark): an emitted session must be equal
+    # to, or a sub-range of, exactly one batch session of its key
+    j = got.alias("g").join(
+        want.alias("w"),
+        (F.col("g.repo") == F.col("w.repo"))
+        & (F.col("g.session_start") >= F.col("w.session_start"))
+        & (F.col("g.session_end") <= F.col("w.session_end")),
+        "left",
+    )
+    bad = j.where(
+        F.col("w.n_events").isNull()
+        | (F.col("g.n_events") > F.col("w.n_events"))
+        | (F.col("g.n_events") < 1)
+    ).count()
+    assert bad == 0
+    # at least one emitted session must EQUAL its batch twin exactly
+    # (availableNow stops the watermark at end-of-stream, so trailing
+    # sessions legitimately stay open in state and never emit — emitted
+    # count is a strict subset, not half the batch total)
+    exact = got.join(
+        want, ["session_start", "session_end", "repo",
+               "n_events", "max_commit_seq"]
+    ).count()
+    assert exact >= 1
