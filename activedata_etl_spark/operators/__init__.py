@@ -17,6 +17,11 @@ from activedata_etl_spark.operators.sampling import (  # noqa: F401
     split_assign,
     stratified_sample_k,
 )
+from activedata_etl_spark.operators.funnels import (  # noqa: F401
+    cohort_retention,
+    funnel,
+    funnel_counts,
+)
 from activedata_etl_spark.operators.temporal import (  # noqa: F401
     asof_join,
     range_join,

@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from activedata_etl_spark.functions import text as TX
 from activedata_etl_spark.operators import corpus as CP
 from activedata_etl_spark.operators import dedup as DD
+from activedata_etl_spark.operators import funnels as FN
 from activedata_etl_spark.operators import temporal as TP
 from activedata_etl_spark.operators import similarity as SIM
 from activedata_etl_spark.sources.tables import load_table
@@ -2246,6 +2247,76 @@ ORDER BY 1, 3
 """
 
 
+def q36_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered event funnel (operators/funnels.py:funnel_counts):
+    view -> click -> purchase within 7 days of the first view, per user.
+    Conditional-min cascade over ONE hash partition by user — K window
+    mins share a single exchange."""
+    e = _t(spark, sf, "events")
+    return FN.funnel_counts(
+        e, "user_id", "ts", ["view", "click", "purchase"],
+        within=7 * 86400.0,
+    ).orderBy("step_index")
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT s1.user_id, s1.t_1, min(e.ts) AS t_2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND e.ts > s1.t_1 AND e.ts <= s1.t_1 + INTERVAL 604800 SECOND
+  GROUP BY 1, 2
+), s3 AS (
+  SELECT s2.user_id, s2.t_1, s2.t_2, min(e.ts) AS t_3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND e.ts > s2.t_2 AND e.ts <= s2.t_1 + INTERVAL 604800 SECOND
+  GROUP BY 1, 2, 3
+), d AS (
+  SELECT user_id,
+         CAST(t_1 IS NOT NULL AS INT) + CAST(t_2 IS NOT NULL AS INT)
+         + CAST(t_3 IS NOT NULL AS INT) AS depth
+  FROM s3
+)
+SELECT CAST(s.step_index AS INT) AS step_index, s.step,
+       count(*) AS n_keys
+FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+     AS s(step_index, step)
+JOIN d ON d.depth >= s.step_index
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q37_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnels.py:cohort_retention):
+    cohort = fixed-width week of a user's first event; n_keys = users of
+    that cohort active `offset` weeks later.  No join — groupBy(user) ->
+    explode(distinct periods) -> final agg, two combinable shuffles."""
+    e = _t(spark, sf, "events")
+    return FN.cohort_retention(e, "user_id", "ts", period="week").orderBy(
+        "cohort_period", "period_offset"
+    )
+
+
+ORACLE_RETENTION = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS pidx
+  FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT pidx,
+         min(pidx) OVER (PARTITION BY user_id) AS cohort_period
+  FROM p
+)
+SELECT cohort_period, pidx - cohort_period AS period_offset,
+       count(*) AS n_keys
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2316,6 +2387,8 @@ SPARK_QUERIES = {
     "ngram_topk": ngram_topk_q,
     "q34_sessionize": q34_sessionize,
     "q35_range_join": q35_range_join,
+    "q36_funnel": q36_funnel,
+    "q37_retention": q37_retention,
 }
 
 ORACLE_SQL = {
@@ -2384,4 +2457,6 @@ ORACLE_SQL = {
     "ngram_topk": ORACLE_NGRAM_TOPK,
     "q34_sessionize": ORACLE_SESSIONIZE,
     "q35_range_join": ORACLE_RANGE_JOIN,
+    "q36_funnel": ORACLE_FUNNEL,
+    "q37_retention": ORACLE_RETENTION,
 }

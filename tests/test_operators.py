@@ -1232,3 +1232,99 @@ def test_range_join_matches_naive_nonequi(spark):
         ).select("l.pid", "r.rid").collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_funnel_order_within_and_depth(spark):
+    """Steps must complete IN ORDER (a purchase before the click does not
+    count), strictly after the previous step, inside the `within` fence;
+    depth counts consecutive completions; keys without step 1 drop."""
+    from activedata_etl_spark.operators.funnels import funnel
+
+    rows = [
+        # u1: clean A(10) -> B(20) -> C(30)
+        (1, 10.0, "A"), (1, 20.0, "B"), (1, 30.0, "C"),
+        # u2: C before B -> depth 2 (C at 15 precedes B at 20; no C after)
+        (2, 10.0, "A"), (2, 15.0, "C"), (2, 20.0, "B"),
+        # u3: B at the SAME time as A -> strict > means depth 1
+        (3, 10.0, "A"), (3, 10.0, "B"),
+        # u4: B outside the within window -> depth 1
+        (4, 10.0, "A"), (4, 200.0, "B"),
+        # u5: never does A -> no output row even with B, C present
+        (5, 1.0, "B"), (5, 2.0, "C"),
+        # u6: earliest A wins, later duplicate As ignored
+        (6, 50.0, "A"), (6, 40.0, "A"), (6, 45.0, "B"), (6, 60.0, "C"),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "t", "typ"])
+    got = {
+        r["uid"]: (r["t_1"], r["t_2"], r["t_3"], r["depth"])
+        for r in funnel(df, "uid", "t", ["A", "B", "C"],
+                        step_col="typ", within=100.0).collect()
+    }
+    assert got == {
+        1: (10.0, 20.0, 30.0, 3),
+        2: (10.0, 20.0, None, 2),
+        3: (10.0, None, None, 1),
+        4: (10.0, None, None, 1),
+        6: (40.0, 45.0, 60.0, 3),
+    }
+
+
+def test_funnel_counts_nested_and_single_shuffle(spark):
+    """funnel_counts is non-increasing and step-labelled; the funnel plan
+    carries exactly ONE hash exchange on the key (the K window mins and
+    the collapsing agg all reuse it) — the scale contract."""
+    from activedata_etl_spark.operators.funnels import funnel, funnel_counts
+
+    df = spark.range(300).select(
+        (F.col("id") % 57).alias("uid"),
+        (F.col("id") * 7 % 101).cast("double").alias("t"),
+        F.element_at(
+            F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("X")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("typ"),
+    )
+    fc = funnel_counts(df, "uid", "t", ["A", "B", "C"], step_col="typ")
+    rows = {r["step_index"]: (r["step"], r["n_keys"]) for r in fc.collect()}
+    assert rows[1][0] == "A" and rows[2][0] == "B" and rows[3][0] == "C"
+    assert rows[1][1] >= rows[2][1] >= rows[3][1] > 0
+    plan = (
+        funnel(df, "uid", "t", ["A", "B", "C"], step_col="typ")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_validation(spark):
+    from activedata_etl_spark.operators.funnels import funnel
+
+    df = spark.createDataFrame([(1, 1.0, "A")], ["uid", "t", "typ"])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(df, "uid", "t", ["A"], step_col="typ")
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel(df, "uid", "t", ["A", "B", "A"], step_col="typ")
+
+
+def test_cohort_retention_fixed_width_periods(spark):
+    """Cohort = period of first event; offsets count DISTINCT active keys
+    (multiple events in one period count once); offset 0 row equals the
+    cohort size; numeric time columns use plain-unit widths."""
+    from activedata_etl_spark.operators.funnels import cohort_retention
+
+    rows = [
+        # u1 first in period 0, active 0 and 2 (two events in p2 -> once)
+        (1, 5.0), (1, 25.0), (1, 27.0),
+        # u2 first in period 0, active 0 only
+        (2, 9.0),
+        # u3 first in period 1, active 1 and 2
+        (3, 12.0), (3, 22.0),
+        # null time ignored
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "uid long, t double")
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_keys"]
+        for r in cohort_retention(df, "uid", "t", period=10.0).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+    with pytest.raises(ValueError, match="positive"):
+        cohort_retention(df, "uid", "t", period=0.0)
