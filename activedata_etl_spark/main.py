@@ -157,6 +157,20 @@ def _parser() -> argparse.ArgumentParser:
                     help="override the cursor (explicit range re-export)")
     ex.add_argument("--to", dest="to_version", type=int, default=None)
     ex.add_argument("--batch-size", type=int, default=5000)
+
+    ej = sub.add_parser("export-jsonl", help="deterministic sharded "
+                                             "JSON-lines export of a lake "
+                                             "table or parquet path — the "
+                                             "training-data handoff (manifest "
+                                             "with per-shard rows/bytes)")
+    ej.add_argument("--table", required=True,
+                    help="lake table location or plain parquet dir")
+    ej.add_argument("--out", required=True)
+    ej.add_argument("--id-col", required=True)
+    ej.add_argument("--shards", type=int, required=True)
+    ej.add_argument("--no-compress", action="store_true")
+    ej.add_argument("--id-hash", default="auto",
+                    choices=["auto", "numeric", "xxhash64", "sha"])
     return p
 
 
@@ -267,6 +281,22 @@ def main(argv: list[str] | None = None) -> None:
             SnapshotTable(spark, args.table), args.out,
             cursor_name=args.cursor, from_version=args.from_version,
             to_version=args.to_version, batch_size=args.batch_size)))
+    elif args.cmd == "export-jsonl":
+        import os as _os
+
+        from activedata_etl_spark.sinks.jsonl_export import export_jsonl_shards
+
+        if _os.path.isdir(_os.path.join(args.table, "metadata")):
+            from activedata_etl_spark.lake.table import SnapshotTable
+
+            df = SnapshotTable(spark, args.table).read()
+        else:
+            df = spark.read.parquet(args.table)
+        man = export_jsonl_shards(
+            df, args.out, id_col=args.id_col, n_shards=args.shards,
+            compress=not args.no_compress, id_hash=args.id_hash)
+        print(json.dumps({"out": args.out, "shards": len(man),
+                          "total_rows": sum(m["n_rows"] for m in man)}))
     elif args.cmd == "analyze":
         from activedata_etl_spark.lake.table import SnapshotTable
 
