@@ -473,7 +473,16 @@ def incremental_dedup(
         .select("id_b", "id_c").distinct()
     )
     sh_b = shingled(survivors, id_col, text_col, n).repartition("id")
-    sh_c = shingled(corpus, id_col, text_col, n)
+    # shingle-verify ONLY the corpus docs that collided with the batch:
+    # a broadcast-able semi join (candidate ids are O(batch collisions))
+    # keeps the exact-Jaccard verify O(candidates) instead of re-shingling
+    # the WHOLE corpus — at 10^10 corpus docs this is the difference
+    # between an O(batch) increment and an O(table) one
+    cand_c_ids = cand_x.select(F.col("id_c").alias(id_col)).distinct()
+    sh_c = shingled(
+        corpus.join(cand_c_ids, id_col, "left_semi").select(*corpus.columns),
+        id_col, text_col, n,
+    )
     inter = F.size(F.array_intersect("sh_b", "sh_c"))
     union = F.size("sh_b") + F.size("sh_c") - inter
     hit_corpus = (
@@ -485,12 +494,27 @@ def incremental_dedup(
         .where(F.round(inter / union, 6) >= threshold)
         .select("id_b").distinct()
     )
-    # within-batch near pairs: the standard self-join LSH on the batch only
-    pairs_b = minhash_lsh_pairs(
-        survivors, id_col, text_col, n=n, k=k, bands=bands,
-        threshold=threshold, seed=seed, hash_fn=hash_fn,
+    # within-batch near pairs: self-join the EXISTING band frame (bb is
+    # repartitioned on the band keys -> ReusedExchange with the asymmetric
+    # join) and verify against the EXISTING sh_b — never re-sign or
+    # re-shingle the batch (minhash_lsh_pairs would recompute both)
+    cand_bb = (
+        bb.withColumnsRenamed({"id": "id_a"})
+        .join(bb.withColumnsRenamed({"id": "id_b"}), keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
     )
-    dropped_in_batch = pairs_b.select(F.col("id_b"))
+    inter_bb = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_bb = F.size("sh_a") + F.size("sh_b") - inter_bb
+    dropped_in_batch = (
+        cand_bb
+        .join(sh_b.select(F.col("id").alias("id_a"),
+                          F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_b.select(F.col("id").alias("id_b"),
+                          F.col("sh").alias("sh_b")), "id_b")
+        .where(F.round(inter_bb / union_bb, 6) >= threshold)
+        .select("id_b")
+    )
     drop = hit_corpus.unionByName(dropped_in_batch).distinct()
     out = survivors.join(
         drop.withColumnsRenamed({"id_b": id_col}), id_col, "left_anti"
