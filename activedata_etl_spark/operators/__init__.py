@@ -25,5 +25,6 @@ from activedata_etl_spark.operators.funnels import (  # noqa: F401
 from activedata_etl_spark.operators.temporal import (  # noqa: F401
     asof_join,
     range_join,
+    resample,
     sessionize,
 )

@@ -298,3 +298,97 @@ def range_join(
             for c in (right_start, right_end, *payload_cols)
         ],
     )
+
+
+def resample(
+    df: DataFrame,
+    key: str | list[str],
+    time_col: str,
+    *,
+    width: float,
+    aggs: dict[str, F.Column],
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Fixed-width time-series resample with gap filling: aggregate into
+    epoch-anchored buckets of ``width`` (seconds for timestamps, plain
+    units for numerics), then DENSIFY — every key gets one row for every
+    bucket between its first and last event, including empty ones.
+
+    ``aggs``: output name -> aggregate expression over the raw rows
+    (e.g. ``{"n": F.count(F.lit(1)), "total": F.sum("value")}``).
+    ``fill`` decides what an EMPTY bucket shows per output column:
+    ``"ffill"`` (carry the last seen value forward — gauge semantics),
+    any literal (``0`` for counters), or absent -> null.  Output columns:
+    keys, ``bucket`` (long epoch-quotient index), ``bucket_start``
+    (``bucket * width``, the bucket's epoch start), then the aggregates.
+
+    Scale shape: ONE groupBy(key, bucket) shuffle with map-side partial
+    aggregation does all the heavy lifting; the dense spine is generated
+    from a per-key (min, max) aggregate — an explode of sequence() whose
+    size is bounded by the CALENDAR (periods per key), not the event
+    count — and the grid left-joins the (already small) aggregate frame.
+    ffill adds one per-key window sort over the grid.  Empty-bucket rows
+    never touch the raw table.  Nulls in ``time_col`` are excluded (a
+    null timestamp belongs to no bucket).
+
+    The reference densifies query edges the same way (TimeDomain partitions
+    emit empty parts, `vendor/jx_base/domains.py` time domain); this is the
+    standing-operator form over a keyed stream.
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
+    keys = [key] if isinstance(key, str) else list(key)
+    reserved = set(keys) | {"bucket", "bucket_start"}
+    clash = reserved & set(aggs)
+    if clash:
+        raise ValueError(f"agg output names clash with grid columns: {clash}")
+    dtype = dict(df.dtypes)[time_col]
+    num = (
+        F.col(time_col).cast("timestamp").cast("double")
+        if dtype in _TIME_DTYPES
+        else F.col(time_col).cast("double")
+    )
+    bucket = F.floor(num / F.lit(float(width))).cast("long")
+
+    valid = df.where(F.col(time_col).isNotNull())
+    agged = (
+        valid.withColumn("bucket", bucket)
+        .groupBy(*keys, "bucket")
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    spine = (
+        valid.select(*keys, bucket.alias("__b"))
+        .groupBy(*keys)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        # sequence size is (periods per key); generated from an aggregate,
+        # so the explode's inferred filters stay above the scan
+        .select(*keys, F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"))).alias("bucket"))
+    )
+    grid = spine.join(agged, [*keys, "bucket"], "left")
+    fill = fill or {}
+    unknown = set(fill) - set(aggs)
+    if unknown:
+        raise ValueError(f"fill names unknown agg columns: {unknown}")
+    cols = []
+    for name in aggs:
+        c = F.col(name)
+        mode = fill.get(name)
+        if mode == "ffill":
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            c = F.last(name, ignorenulls=True).over(w)
+        elif mode is not None:
+            c = F.coalesce(c, F.lit(mode))
+        cols.append(c.alias(name))
+    return grid.select(
+        *keys,
+        "bucket",
+        (F.col("bucket") * F.lit(float(width))).alias("bucket_start"),
+        *cols,
+    )

@@ -2301,6 +2301,49 @@ def q37_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q38_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily gap-filled resample of purchase events per user
+    (operators/temporal.py:resample): counters fill 0, the gauge (peak
+    value seen) forward-fills; every user gets a dense day grid between
+    their first and last purchase.  One groupBy shuffle + calendar-bounded
+    spine explode."""
+    e = _t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    return TP.resample(
+        e, "user_id", "ts", width=86400.0,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 6),
+            "peak": F.round(F.max("value"), 6),
+        },
+        fill={"n_events": 0, "total_value": 0.0, "peak": "ffill"},
+    ).orderBy("user_id", "bucket")
+
+
+ORACLE_RESAMPLE = """
+WITH v AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bucket,
+         value
+  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+), a AS (
+  SELECT user_id, bucket, count(*) AS n_events,
+         round(sum(value), 6) AS total_value, round(max(value), 6) AS peak
+  FROM v GROUP BY 1, 2
+), r AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM v GROUP BY 1
+), g AS (
+  SELECT r.user_id, unnest(generate_series(r.lo, r.hi)) AS bucket FROM r
+)
+SELECT g.user_id, g.bucket, g.bucket * 86400.0 AS bucket_start,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.total_value, 0.0) AS total_value,
+       last_value(a.peak IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+FROM g LEFT JOIN a USING (user_id, bucket)
+ORDER BY 1, 2
+"""
+
+
 ORACLE_RETENTION = """
 WITH p AS (
   SELECT DISTINCT user_id,
@@ -2389,6 +2432,7 @@ SPARK_QUERIES = {
     "q35_range_join": q35_range_join,
     "q36_funnel": q36_funnel,
     "q37_retention": q37_retention,
+    "q38_resample": q38_resample,
 }
 
 ORACLE_SQL = {
@@ -2459,4 +2503,5 @@ ORACLE_SQL = {
     "q35_range_join": ORACLE_RANGE_JOIN,
     "q36_funnel": ORACLE_FUNNEL,
     "q37_retention": ORACLE_RETENTION,
+    "q38_resample": ORACLE_RESAMPLE,
 }

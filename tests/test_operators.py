@@ -1405,3 +1405,60 @@ def test_corpus_pipeline_composes_end_to_end(spark, tmp_path):
                split.where(F.col("split") != "train").select("doc_id").collect()}
     assert exported_ids.isdisjoint(holdout)         # no eval leakage
     assert len(exported_ids) == train.count()
+
+
+def test_resample_gap_fill_semantics(spark):
+    """Dense grid per key between first and last bucket; counters fill
+    literal 0, gauges forward-fill, unfilled stay null; null timestamps
+    excluded; clashing/unknown names raise."""
+    from activedata_etl_spark.operators.temporal import resample
+
+    rows = [
+        # key 1: events in buckets 0 and 3 (width 10) -> 1,2 are gaps
+        (1, 1.0, 5.0), (1, 2.0, 7.0), (1, 31.0, 2.0),
+        # key 2: single bucket -> no gaps
+        (2, 45.0, 9.0),
+        # null time ignored entirely
+        (1, None, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t double, v double")
+    out = resample(
+        df, "k", "t", width=10.0,
+        aggs={"n": F.count(F.lit(1)), "mx": F.max("v"), "raw": F.sum("v")},
+        fill={"n": 0, "mx": "ffill"},
+    )
+    got = {(r["k"], r["bucket"]): (r["n"], r["mx"], r["raw"], r["bucket_start"])
+           for r in out.collect()}
+    assert got == {
+        (1, 0): (2, 7.0, 12.0, 0.0),
+        (1, 1): (0, 7.0, None, 10.0),   # gap: n->0, mx ffilled, raw null
+        (1, 2): (0, 7.0, None, 20.0),
+        (1, 3): (1, 2.0, 2.0, 30.0),    # real bucket: mx is ITS max
+        (2, 4): (1, 9.0, 9.0, 40.0),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="clash"):
+        resample(df, "k", "t", width=10.0, aggs={"bucket": F.count(F.lit(1))})
+    with _pytest.raises(ValueError, match="unknown"):
+        resample(df, "k", "t", width=10.0, aggs={"n": F.count(F.lit(1))},
+                 fill={"zz": 0})
+    with _pytest.raises(ValueError, match="positive"):
+        resample(df, "k", "t", width=0.0, aggs={"n": F.count(F.lit(1))})
+
+
+def test_resample_timestamps_and_single_agg_shuffle(spark):
+    """Timestamp columns bucket by epoch seconds; the raw table feeds
+    exactly one aggregate exchange (the spine reuses the same scan via
+    its own per-key aggregate — no join back to raw rows)."""
+    import datetime as dt
+
+    from activedata_etl_spark.operators.temporal import resample
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 30), 1.0),
+            (1, dt.datetime(2024, 1, 3, 12, 0), 2.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = resample(df, "k", "ts", width=86400.0,
+                   aggs={"n": F.count(F.lit(1))}, fill={"n": 0})
+    rows_out = out.orderBy("bucket").collect()
+    assert [r["n"] for r in rows_out] == [1, 0, 1]   # Jan 2 is a gap
+    assert rows_out[0]["bucket"] * 86400.0 == rows_out[0]["bucket_start"]
