@@ -171,6 +171,15 @@ def _parser() -> argparse.ArgumentParser:
     ej.add_argument("--no-compress", action="store_true")
     ej.add_argument("--id-hash", default="auto",
                     choices=["auto", "numeric", "xxhash64", "sha"])
+
+    rq = sub.add_parser("reingest-quarantine",
+                        help="second-look ingestion of quarantined events: "
+                             "late rows re-apply (fence/watermarks "
+                             "unchanged), null-key rows stay quarantined, "
+                             "consumed dirs are archived")
+    rq.add_argument("--table", required=True)
+    rq.add_argument("--batch-ids", default=None,
+                    help="comma-separated quarantine batch ids (default all)")
     return p
 
 
@@ -297,6 +306,13 @@ def main(argv: list[str] | None = None) -> None:
             compress=not args.no_compress, id_hash=args.id_hash)
         print(json.dumps({"out": args.out, "shards": len(man),
                           "total_rows": sum(m["n_rows"] for m in man)}))
+    elif args.cmd == "reingest-quarantine":
+        from activedata_etl_spark.streaming.replay import reingest_quarantine
+
+        ids = ([int(x) for x in args.batch_ids.split(",")]
+               if args.batch_ids else None)
+        print(json.dumps(reingest_quarantine(
+            spark, args.table, batch_ids=ids, verbose=True)))
     elif args.cmd == "analyze":
         from activedata_etl_spark.lake.table import SnapshotTable
 

@@ -331,6 +331,105 @@ def repair_range(
     }
 
 
+def reingest_quarantine(
+    spark: SparkSession,
+    table_location: str,
+    *,
+    batch_ids: list[int] | None = None,
+    salted: bool = False,
+    verbose: bool = False,
+) -> dict:
+    """Second-look ingestion of quarantined events — the operator's
+    "admit the late data after review" lever (the reference's analog is
+    re-pushing a fixed block through the same idempotent sink,
+    `activedata_etl/sinks/s3_bucket.py:92-118`).
+
+    Per quarantine batch dir (``quarantine/b<N>``):
+
+    - LATE events re-apply with NO late threshold: calling this IS the
+      decision to admit them; the external_gte version guard still makes
+      genuinely stale updates lose to newer table rows.
+    - INVALID events (null key after normalization) are unrecoverable by
+      construction — they stay quarantined (the dir is rewritten to hold
+      only them, preserving the audit trail).
+    - The batch fence and per-partition watermarks NEVER move (repair
+      semantics, ``advance_fence=False``): these offsets are already
+      below the fence, so replay behavior is unchanged.
+    - A fully-consumed dir is archived to ``.reingested_b<N>`` after the
+      commit — reingest is idempotent; a second call is a no-op.
+    """
+    import os
+    import re as _re
+
+    table = SnapshotTable(spark, table_location)
+    snap = table.snapshot()
+    key_cols = list(snap["key_cols"])
+    qroot = os.path.join(table_location, "quarantine")
+    if not os.path.isdir(qroot):
+        return {"dirs": 0, "events_reapplied": 0, "unrecoverable": 0,
+                "archived": []}
+    dirs = sorted(
+        (d for d in os.listdir(qroot) if _re.fullmatch(r"b\d+", d)),
+        key=lambda d: int(d[1:]),
+    )
+    if batch_ids is not None:
+        want = {int(b) for b in batch_ids}
+        dirs = [d for d in dirs if int(d[1:]) in want]
+    fence_before = table.last_batch_id()
+    wm_before = table.watermarks()
+    reapplied = unrecoverable = 0
+    archived: list[str] = []
+    for d in dirs:
+        bid = int(d[1:])
+        src = os.path.join(qroot, d)
+        raw = spark.read.parquet(src).drop("__invalid", "__late")
+        # REVALIDATE after normalization ('' -> null can only widen the
+        # invalid set): rows passing here can never be re-quarantined by
+        # apply_batch, so the dir being read is never overwritten mid-job
+        norm = normalize_keys(raw)
+        ok_pred = F.lit(True)
+        for c in key_cols:
+            if c in norm.columns:
+                ok_pred = ok_pred & F.col(c).isNotNull()
+        ok, bad = norm.where(ok_pred), norm.where(~ok_pred)
+        n_ok, n_bad = ok.count(), bad.count()
+        unrecoverable += n_bad
+        if n_ok == 0:
+            if verbose:
+                print(f"[reingest] {d}: 0 recoverable, {n_bad} stay")
+            continue
+        s = apply_batch(
+            table, ok, bid, salted=salted, finalize_fn=finalize_records,
+            enforce_watermark=False, advance_fence=False,
+            late_threshold_sec=None, lineage_level="full",
+        )
+        reapplied += s["rows_read"]
+        if verbose:
+            print(f"[reingest] {d}: {s['rows_read']} re-applied, "
+                  f"{n_bad} unrecoverable")
+        if n_bad:
+            # keep the unrecoverables visible under the ORIGINAL name:
+            # stage the remainder, then swap (source stays intact until
+            # the staged write is durable)
+            tmp = os.path.join(qroot, f".tmp_{d}")
+            bad.write.mode("overwrite").parquet(tmp)
+            os.rename(src, os.path.join(qroot, f".reingested_{d}"))
+            os.rename(tmp, src)
+        else:
+            os.rename(src, os.path.join(qroot, f".reingested_{d}"))
+        archived.append(d)
+    # repair invariant: single-writer reingest never moves the fence
+    fence_moved = (table.last_batch_id() != fence_before
+                   or table.watermarks() != wm_before)
+    return {
+        "dirs": len(dirs),
+        "events_reapplied": reapplied,
+        "unrecoverable": unrecoverable,
+        "archived": archived,
+        "fence_moved": fence_moved,
+    }
+
+
 def stream_journal(
     spark: SparkSession,
     journal_dir: str,

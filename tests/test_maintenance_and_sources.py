@@ -734,3 +734,52 @@ def test_jsonl_export_string_ids_and_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="n_shards"):
         export_jsonl_shards(df, str(tmp_path / "z"), id_col="doc_id", n_shards=0)
+
+
+def test_reingest_quarantine_admits_late_keeps_invalid(spark, tmp_path):
+    """reingest_quarantine applies quarantined LATE rows (operator
+    decision), leaves null-key rows quarantined under the original dir,
+    archives the consumed dir, never moves the fence, and is idempotent."""
+    import datetime as dt
+
+    from activedata_etl_spark.functions.normalize import normalize_batch
+    from activedata_etl_spark.streaming.replay import (
+        ensure_table,
+        reingest_quarantine,
+    )
+
+    cols = ("partition int, offset long, commit_seq long, op string, "
+            "repo string, path string, commit string, lang string, "
+            "content string, ts timestamp")
+    t1 = dt.datetime(2024, 6, 1)
+    old = dt.datetime(2023, 1, 1)
+    loc = str(tmp_path / "lake_rq")
+    b0 = spark.createDataFrame(
+        [(0, 0, 0, "insert", "r", "a.py", "c" * 12, None, "X", t1)], cols)
+    table = ensure_table(spark, loc, b0.schema)
+    apply_batch(table, normalize_batch(b0), 0, late_threshold_sec=86400)
+    b1 = spark.createDataFrame(
+        [(0, 1, 1, "insert", None, "bad.py", "d" * 12, None, "Y", t1),
+         (0, 2, 2, "insert", "r", "late.py", "e" * 12, None, "Z", old),
+         (0, 3, 3, "insert", "r", "ok.py", "f" * 12, None, "W", t1)], cols)
+    apply_batch(table, normalize_batch(b1), 1, late_threshold_sec=86400)
+    assert {r["path"] for r in table.read().collect()} == {"a.py", "ok.py"}
+    fence, wm = table.last_batch_id(), table.watermarks()
+
+    s = reingest_quarantine(spark, loc)
+    assert s["events_reapplied"] == 1 and s["unrecoverable"] == 1
+    assert s["archived"] == ["b1"] and s["fence_moved"] is False
+    # the late row is now live; the invalid row is not
+    assert {r["path"] for r in table.read().collect()} == {
+        "a.py", "ok.py", "late.py"}
+    assert table.last_batch_id() == fence and table.watermarks() == wm
+    # the original dir now holds ONLY the unrecoverable row; audit archive exists
+    left = spark.read.parquet(f"{loc}/quarantine/b1")
+    assert [r["path"] for r in left.collect()] == ["bad.py"]
+    arch = spark.read.parquet(f"{loc}/quarantine/.reingested_b1")
+    assert {r["path"] for r in arch.collect()} == {"bad.py", "late.py"}
+    # idempotent: second call finds only the invalid remainder, applies 0
+    s2 = reingest_quarantine(spark, loc)
+    assert s2["events_reapplied"] == 0 and s2["unrecoverable"] == 1
+    assert s2["archived"] == [] and s2["fence_moved"] is False
+    assert table.read().count() == 3
