@@ -2344,6 +2344,74 @@ ORDER BY 1, 2
 """
 
 
+def q39_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags over per-user daily event
+    value: each day's total compares to the user's OWN preceding 7-day
+    window (current day excluded — no self-contamination of the
+    baseline).  Composes resample (dense daily grid, gaps are real
+    zeros) with one per-key window pass; days with <3 baseline points
+    or zero variance yield null z (never a fake anomaly).  Pure
+    Catalyst: one agg shuffle + one window sort."""
+    e = _t(spark, sf, "events")
+    daily = TP.resample(
+        e, "user_id", "ts", width=86400.0,
+        aggs={"total_value": F.round(F.sum("value"), 6)},
+        fill={"total_value": 0.0},
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("bucket").rowsBetween(-7, -1)
+    )
+    base_n = F.count("total_value").over(w)
+    mean = F.avg("total_value").over(w)
+    sd = F.stddev_samp("total_value").over(w)
+    z = F.when(
+        (base_n >= 3) & (sd > 0),
+        F.round((F.col("total_value") - mean) / sd, 6),
+    )
+    return (
+        daily.select(
+            "user_id", "bucket", "total_value",
+            z.alias("z"),
+            F.coalesce(z >= 2.0, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+ORACLE_ANOMALY = """
+WITH v AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bucket,
+         value
+  FROM events WHERE ts IS NOT NULL
+), a AS (
+  SELECT user_id, bucket, round(sum(value), 6) AS total_value
+  FROM v GROUP BY 1, 2
+), r AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM v GROUP BY 1
+), g AS (
+  SELECT r.user_id, unnest(generate_series(r.lo, r.hi)) AS bucket FROM r
+), d AS (
+  SELECT g.user_id, g.bucket,
+         coalesce(a.total_value, 0.0) AS total_value
+  FROM g LEFT JOIN a USING (user_id, bucket)
+), s AS (
+  SELECT user_id, bucket, total_value,
+         count(total_value) OVER w AS base_n,
+         avg(total_value) OVER w AS mean,
+         stddev_samp(total_value) OVER w AS sd
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket, total_value,
+       CASE WHEN base_n >= 3 AND sd > 0
+            THEN round((total_value - mean) / sd, 6) END AS z,
+       coalesce(CASE WHEN base_n >= 3 AND sd > 0
+                     THEN (total_value - mean) / sd >= 2.0 END,
+                FALSE) AS is_anomaly
+FROM s ORDER BY 1, 2
+"""
+
+
 ORACLE_RETENTION = """
 WITH p AS (
   SELECT DISTINCT user_id,
@@ -2433,6 +2501,7 @@ SPARK_QUERIES = {
     "q36_funnel": q36_funnel,
     "q37_retention": q37_retention,
     "q38_resample": q38_resample,
+    "q39_anomaly": q39_anomaly,
 }
 
 ORACLE_SQL = {
@@ -2504,4 +2573,5 @@ ORACLE_SQL = {
     "q36_funnel": ORACLE_FUNNEL,
     "q37_retention": ORACLE_RETENTION,
     "q38_resample": ORACLE_RESAMPLE,
+    "q39_anomaly": ORACLE_ANOMALY,
 }
