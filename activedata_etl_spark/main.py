@@ -171,6 +171,12 @@ def _parser() -> argparse.ArgumentParser:
     ej.add_argument("--no-compress", action="store_true")
     ej.add_argument("--id-hash", default="auto",
                     choices=["auto", "numeric", "xxhash64", "sha"])
+    ej.add_argument("--incremental", action="store_true",
+                    help="publish over the change feed: rewrite only the "
+                         "shards holding changed keys (lake tables only; "
+                         "cursor in snapshot properties)")
+    ej.add_argument("--cursor", default="jsonl",
+                    help="incremental cursor name — one per destination")
 
     rq = sub.add_parser("reingest-quarantine",
                         help="second-look ingestion of quarantined events: "
@@ -293,19 +299,35 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "export-jsonl":
         import os as _os
 
-        from activedata_etl_spark.sinks.jsonl_export import export_jsonl_shards
+        from activedata_etl_spark.sinks.jsonl_export import (
+            export_jsonl_changes,
+            export_jsonl_shards,
+        )
 
-        if _os.path.isdir(_os.path.join(args.table, "metadata")):
+        is_lake = _os.path.isdir(_os.path.join(args.table, "metadata"))
+        if args.incremental:
+            if not is_lake:
+                raise SystemExit("--incremental needs a lake table "
+                                 "(change feed + cursor properties)")
             from activedata_etl_spark.lake.table import SnapshotTable
 
-            df = SnapshotTable(spark, args.table).read()
+            print(json.dumps(export_jsonl_changes(
+                SnapshotTable(spark, args.table), args.out,
+                id_col=args.id_col, n_shards=args.shards,
+                cursor_name=args.cursor, compress=not args.no_compress,
+                id_hash=args.id_hash)))
         else:
-            df = spark.read.parquet(args.table)
-        man = export_jsonl_shards(
-            df, args.out, id_col=args.id_col, n_shards=args.shards,
-            compress=not args.no_compress, id_hash=args.id_hash)
-        print(json.dumps({"out": args.out, "shards": len(man),
-                          "total_rows": sum(m["n_rows"] for m in man)}))
+            if is_lake:
+                from activedata_etl_spark.lake.table import SnapshotTable
+
+                df = SnapshotTable(spark, args.table).read()
+            else:
+                df = spark.read.parquet(args.table)
+            man = export_jsonl_shards(
+                df, args.out, id_col=args.id_col, n_shards=args.shards,
+                compress=not args.no_compress, id_hash=args.id_hash)
+            print(json.dumps({"out": args.out, "shards": len(man),
+                              "total_rows": sum(m["n_rows"] for m in man)}))
     elif args.cmd == "reingest-quarantine":
         from activedata_etl_spark.streaming.replay import reingest_quarantine
 

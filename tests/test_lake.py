@@ -1485,3 +1485,81 @@ def test_tags_pin_versions_through_expiry(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         table.tag("bad", v1)
     assert v_rb < table.current_version() + 1
+
+
+def test_export_jsonl_changes_incremental_equals_full(spark, tmp_path):
+    """Incremental shard publishing over the change feed: only shards
+    holding changed keys are rewritten (others byte-untouched, checked
+    via mtime AND content), deletes empty their shard's rows, and the
+    incremental result is line-identical to a fresh full export of the
+    same version; cursor discipline makes the next call a no-op; config
+    drift fails loudly."""
+    import glob
+    import gzip
+    import json as _json
+
+    from activedata_etl_spark.sinks.jsonl_export import (
+        export_jsonl_changes,
+        export_jsonl_shards,
+    )
+
+    loc = str(tmp_path / "lake_ej")
+    table = _mk_base(spark, loc, n=30)
+    out = str(tmp_path / "pub")
+    N = 8
+
+    s0 = export_jsonl_changes(table, out, id_col="path", n_shards=N)
+    assert s0["full"] is True and s0["rows"] == 30
+
+    def snap_files(base):
+        d = {}
+        for fn in glob.glob(f"{base}/data/shard=*/part-*"):
+            with gzip.open(fn, "rt") as f:
+                d.setdefault(fn.split("shard=")[1].split("/")[0], []).extend(
+                    f.read().splitlines())
+        return d
+
+    import os as _os
+    mtimes_before = {
+        fn: _os.stat(fn).st_mtime_ns
+        for fn in glob.glob(f"{out}/data/shard=*/part-*")
+    }
+
+    # mutate: update f1.py, insert g.py, delete f2.py
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f1.py", "d" * 12, None, "NEW", None),
+         (0, 101, 101, "insert", "r", "g.py", "d" * 12, None, "G", None),
+         (0, 102, 102, "delete", "r", "f2.py", "d" * 12, None, None, None)],
+        COLS_V1)
+    apply_batch(table, _norm(b1), 1)
+
+    s1 = export_jsonl_changes(table, out, id_col="path", n_shards=N)
+    assert s1["full"] is False and 1 <= s1["shards_rewritten"] <= 3
+
+    # line-identical to a fresh full export of the current version
+    ref = str(tmp_path / "ref")
+    export_jsonl_shards(table.read(), ref, id_col="path", n_shards=N)
+    got, want = snap_files(out), snap_files(ref)
+    for s in range(N):
+        assert sorted(got.get(str(s), [])) == sorted(want.get(str(s), []))
+    # manifests agree on totals
+    m_out = _json.load(open(f"{out}/manifest.json"))
+    m_ref = _json.load(open(f"{ref}/manifest.json"))
+    assert m_out["total_rows"] == m_ref["total_rows"] == 30  # -1 del +1 ins
+    assert m_out["shards"] == m_ref["shards"]
+
+    # untouched shards were not rewritten (same inode mtimes)
+    untouched = [
+        fn for fn in mtimes_before
+        if _os.path.exists(fn)
+        and _os.stat(fn).st_mtime_ns == mtimes_before[fn]
+    ]
+    assert len(untouched) >= N - 3 - 1
+
+    # cursor: immediate re-call is a no-op
+    s2 = export_jsonl_changes(table, out, id_col="path", n_shards=N)
+    assert s2["shards_rewritten"] == 0 and s2["rows"] == 0
+
+    # config drift is loud
+    with pytest.raises(ValueError, match="config drift"):
+        export_jsonl_changes(table, out, id_col="path", n_shards=N + 1)
