@@ -828,7 +828,23 @@ def embedding_neardup_lsh(
 
     hash_fn "mix31" makes bucketing reproducible in ANSI SQL (DuckDB
     oracle); "xxhash64" is the fast default.
+
+    Physical shape (guide §4.2): bucket assignment stays a JVM expression
+    (it DEFINES the candidate set and must match the oracle bit-for-bit),
+    but scoring runs as one BLAS matmul per (table, bucket) group via
+    ``applyInPandas`` — the same tiling kernel as the exact operator.  The
+    previous per-pair Catalyst-HOF dot walked every candidate pair through
+    an interpreted 64-element aggregate (~n²/2^n_planes pairs; 57 s at
+    sf1.0); the per-bucket matmul scores the identical pairs in native
+    code and emits only survivors, so the pair-dedup shuffle carries
+    O(output) rows instead of O(candidates) (57.2 s -> ~3 s at sf1.0).
+    Per-task memory is O(bucket rows x dim) plus a row-chunked score block
+    — hot buckets stream through 2048-row chunks.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from activedata_etl_spark.operators import similarity as S
 
     dim = S.probe_dim(df, vec_col)
@@ -844,43 +860,50 @@ def embedding_neardup_lsh(
         for t in range(n_tables)
     ])
     src = fanout(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
-    # candidate generation over IDS ONLY: carrying the ~1KB vector through
-    # the banded exchange, the self-join, and the dedup shuffle quadrupled
-    # shuffle width and scored duplicate pairs once per co-bucketing table
-    # (44 s of stage CPU at sf0.1).  Dedup narrow id pairs first, then
-    # attach vectors from one id-keyed exchange and score each pair ONCE.
     b = (
-        src.select("id", F.posexplode_outer(buckets).alias("table", "bucket"))
+        src.select("id", "vec", F.posexplode_outer(buckets).alias("table", "bucket"))
         .repartition("table", "bucket")
     )
-    left = b.withColumnsRenamed({"id": "id_a"})
-    right = b.withColumnsRenamed({"id": "id_b"})
-    cand = (
-        left.join(right, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # norms once per DOC (not once per pair — the dot is the only per-pair
-    # HOF traversal left), and an explicit repartition before scoring: the
-    # pair frame is tiny in bytes but CPU-heavy per row, and AQE coalesces
-    # by size — without this the cosine stage ran on 2 tasks (8.5 s wall
-    # for 12.5 s CPU at sf0.1)
-    vr = src.withColumn("__nrm", S.norm(F.col("vec"))).repartition("id")
-    va = vr.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                   F.col("__nrm").alias("__na"))
-    vb = vr.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-                   F.col("__nrm").alias("__nb"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    dot = S.dot(F.col("va"), F.col("vb"))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        # zero-norm vectors can never clear the threshold (the JVM path
+        # scored them null); drop before scoring so 0/0 never occurs
+        live = np.nonzero(norms > 0.0)[0]
+        ids, mat, norms = ids[live], mat[live], norms[live]
+        outs = []
+        for lo in range(0, len(ids), 2048):  # bound the score block per chunk
+            hi = min(lo + 2048, len(ids))
+            sims = np.round(
+                (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms), 6
+            )
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            )
+            outs.append((ids[lo:hi][ii], ids[jj], sims[ii, jj]))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        return pd.DataFrame({
+            "id_a": np.concatenate([o[0] for o in outs]),
+            "id_b": np.concatenate([o[1] for o in outs]),
+            "cosine": np.concatenate([o[2] for o in outs]),
+        })
+
+    # a pair co-bucketed in several tables is scored once per table with the
+    # identical deterministic cosine; one dedup shuffle over SURVIVORS only
     return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .repartition(par)
-        .withColumn(
-            "cosine",
-            F.round(dot / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)), 6),
-        )
-        .where(F.col("cosine") >= threshold)
+        b.groupBy("table", "bucket").applyInPandas(tile, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
 
