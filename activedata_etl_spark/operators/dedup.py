@@ -556,10 +556,36 @@ def simhash(
             F.col("th").bitwiseAND(F.lit(1 << b)) != 0 for b in range(63)
         ]
     elif hash_fn == "mix31":
-        toks = toks.withColumn("bm", base60(F.col("tok")) % MIX_P)
-        consts = mix_consts(seed, 63)
+        # hash once per DISTINCT token, not per occurrence: sha256 + the 63
+        # universal-hash parities are ~100x more rows of work when run per
+        # occurrence (the corpus re-uses its vocabulary).  The parities pack
+        # into one 63-bit mask long per token; occurrences join the mask
+        # back (the vocab is frequency-floor-small, so AQE broadcasts it at
+        # bench scale and it stays an equi-join at web scale) and the
+        # per-doc aggregate tests mask bits instead of re-hashing.
+        # Arithmetic is IDENTICAL to the per-occurrence form — same base60,
+        # same (a, c) constants, same parity — so the signature is unchanged.
+        # the second distinct is a CSE BARRIER, not a dedup: projection
+        # collapse would otherwise inline base60 (sha256 + hex conv) into
+        # every one of the 63 when-branches below — 126 sha256s per token,
+        # measured 26 s serial in the AQE-coalesced single partition.  An
+        # aggregate key is evaluated once per row and cannot be projected
+        # into, so __bm materializes exactly once per distinct token.
+        vocab = (
+            toks.select("tok").distinct()
+            .select("tok", (base60(F.col("tok")) % MIX_P).alias("__bm"))
+            .distinct()
+        )
+        mask = None
+        for b, (a, c) in enumerate(mix_consts(seed, 63)):
+            m = F.when(
+                ((F.col("__bm") * a + c) % MIX_P) % 2 == 1, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            mask = m if mask is None else mask + m
+        vocab = vocab.select("tok", mask.cast("long").alias("__mask"))
+        toks = toks.join(vocab, "tok")
         bit = [
-            ((F.col("bm") * a + c) % MIX_P) % 2 == 1 for a, c in consts
+            F.col("__mask").bitwiseAND(F.lit(1 << b)) != 0 for b in range(63)
         ]
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
@@ -716,12 +742,49 @@ def _simhash_candidates(
     right = banded.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bk"
     )
-    return (
-        left.join(right, ["band", "bk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    joined = left.join(right, ["band", "bk"]).where(F.col("id_a") < F.col("id_b"))
+    if max_band_freq is None and max_hamming >= 1:
+        # canonical-band dedup INSTEAD of a distinct shuffle: a band key is
+        # the exact concatenation of its combo's block values, so two docs
+        # co-bucket in band t iff every block of combo t is bit-identical —
+        # a pure function of sig_a XOR sig_b.  A near-identical pair matches
+        # up to ALL C(B, h) bands (hamming 0 matches every one), so the join
+        # emits each true pair ~|combos| times and the old distinct shuffled
+        # that whole multiplicity (~40x the output at h=8).  Keeping only
+        # the FIRST matching band — computable per joined row from a 10-bit
+        # clean-block mask, no extra pass — emits each candidate pair
+        # EXACTLY once, map-side, and the distinct disappears.  (With a
+        # frequency cap a pair's canonical band can be capped away while a
+        # later band still co-buckets it, so the capped path keeps the
+        # distinct.)
+        xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+        B = len(starts) - 1
+        clean = None
+        for c in range(B):
+            width = starts[c + 1] - starts[c]
+            m = F.when(
+                F.shiftright(xor, starts[c]).bitwiseAND(
+                    F.lit((1 << width) - 1)) == 0,
+                F.lit(1 << c),
+            ).otherwise(F.lit(0))
+            clean = m if clean is None else clean + m
+        # first matching combo per clean-block mask, precomputed driver-side
+        # into a 2^B table (B <= 15 by the band plan): one element_at per
+        # joined row instead of |combos| chained comparisons
+        combo_masks = [sum(1 << c for c in cb) for cb in combos]
+        nope = len(combos)
+        table = [
+            next((t for t, m in enumerate(combo_masks) if mask & m == m), nope)
+            for mask in range(1 << B)
+        ]
+        first = F.element_at(
+            F.array(*[F.lit(t) for t in table]), clean.cast("int") + 1
+        )
+        return (
+            joined.where(F.col("band") == first)
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+    return joined.select("id_a", "id_b", "sh_a", "sh_b").distinct()
 
 
 def embedding_neardup_pairs(
