@@ -460,6 +460,17 @@ def incremental_dedup(
     ).select(*batch.columns)
     if not near:
         return survivors
+    # MATERIALIZE the batch-sized frames consumed by several branches
+    # (survivors feeds the signature, the shingle verify AND the final
+    # anti-join; the band frame feeds the asymmetric join and the
+    # within-batch self-join; cand_x feeds the corpus semi-join and the
+    # corpus verify).  AQE's stage cache only dedups branches with
+    # identical canonical plans, and the event-log profile showed the
+    # CORPUS signature+banding subtree executing twice (cand_x's two
+    # consumers) plus 3-4 copies of the batch subtree — ~half the query's
+    # CPU.  localCheckpoint pins each O(batch)/O(collisions) frame once;
+    # nothing corpus-sized is ever materialized.
+    survivors = survivors.localCheckpoint()
     # near stage over the exact survivors (strictly fewer docs to sign)
     sig_b = minhash_signatures(survivors, id_col, text_col, n=n, k=k,
                                seed=seed, hash_fn=hash_fn)
@@ -467,12 +478,15 @@ def incremental_dedup(
                                seed=seed, hash_fn=hash_fn)
     bb, keys = _band_frame(sig_b, hash_fn, k, bands)
     cb, _ = _band_frame(sig_c, hash_fn, k, bands)
+    bb = bb.localCheckpoint()
     cand_x = (
         bb.withColumnsRenamed({"id": "id_b"})
         .join(cb.withColumnsRenamed({"id": "id_c"}), keys)
         .select("id_b", "id_c").distinct()
+        .localCheckpoint()
     )
-    sh_b = shingled(survivors, id_col, text_col, n).repartition("id")
+    sh_b = shingled(survivors, id_col, text_col, n).repartition("id") \
+        .localCheckpoint()
     # shingle-verify ONLY the corpus docs that collided with the batch:
     # a broadcast-able semi join (candidate ids are O(batch collisions))
     # keeps the exact-Jaccard verify O(candidates) instead of re-shingling
