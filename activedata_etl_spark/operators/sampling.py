@@ -335,9 +335,14 @@ def contamination_pairs(
     """
     sh_tr = shingled(train, id_col, text_col, n)
     sh_te = shingled(test, id_col, text_col, n)
+    # localCheckpoint, not just repartition: the exploded train frame feeds
+    # the frequency cap, the posting join AND the size counts — AQE's
+    # exchange reuse proved unreliable across those branches here (event-log
+    # profile: the 48 MB explode exchange ran twice per query), and the
+    # checkpoint stores the same bytes the shuffle already spills
     ex_tr = sh_tr.select(
         F.col("id").alias("train_id"), F.explode_outer("sh").alias("shingle")
-    ).repartition("shingle")
+    ).repartition("shingle").localCheckpoint()
     ex_te = sh_te.select(
         F.col("id").alias("test_id"), F.explode_outer("sh").alias("shingle")
     )
@@ -371,21 +376,40 @@ def contamination_pairs(
     else:
         sz_tr = sz_tr.withColumn("__n_tr_c", F.col("__n_tr"))
     ub = F.col("__c") + (F.col("__n_tr") - F.col("__n_tr_c"))
+    # materialize the pruned candidate list (O(candidates), tiny) so its
+    # subtree runs once, then re-shingle ONLY the candidate docs for the
+    # exact verify — the incremental_dedup corpus-narrowing pattern.  The
+    # previous verify joined against FULL re-shingles of both corpora
+    # (event-log profile: two extra whole-corpus shingle subtrees, ~50 s of
+    # stage CPU at sf1.0); at 10^10 train docs that is the difference
+    # between an O(candidates) verify and an O(corpus) one.  Scores still
+    # come from the candidates' FULL shingle sets — output is unchanged.
     cand = (
         pc.join(sz_te, "test_id").join(sz_tr, "train_id")
         .where(ub / (F.col("__n_te") + F.col("__n_tr") - ub)
                >= threshold - 1e-6)
         .select("test_id", "train_id", "__n_te", "__n_tr")
+        .localCheckpoint()
+    )
+    te_ids = cand.select(F.col("test_id").alias(id_col)).distinct()
+    tr_ids = cand.select(F.col("train_id").alias(id_col)).distinct()
+    sh_te_v = shingled(
+        test.join(te_ids, id_col, "left_semi").select(*test.columns),
+        id_col, text_col, n,
+    )
+    sh_tr_v = shingled(
+        train.join(tr_ids, id_col, "left_semi").select(*train.columns),
+        id_col, text_col, n,
     )
     verify = (
         cand.join(
-            sh_te.select(F.col("id").alias("test_id"),
-                         F.col("sh").alias("sh_te")).repartition("test_id"),
+            sh_te_v.select(F.col("id").alias("test_id"),
+                           F.col("sh").alias("sh_te")),
             "test_id",
         )
         .join(
-            sh_tr.select(F.col("id").alias("train_id"),
-                         F.col("sh").alias("sh_tr")).repartition("train_id"),
+            sh_tr_v.select(F.col("id").alias("train_id"),
+                           F.col("sh").alias("sh_tr")),
             "train_id",
         )
     )
