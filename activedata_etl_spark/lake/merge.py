@@ -192,8 +192,15 @@ def apply_batch(
         batch.withColumn("__below", below)
         .withColumn("__invalid", invalid)
         .withColumn("__late", late & ~invalid)
-        .withColumn(BUCKET_COL, key_bucket)
     )
+    if lineage_level == "full":
+        # full lineage collects the touched-bucket set PRE-reduce, so the
+        # bucket id must exist on every event.  Summary mode defers it to
+        # the LWW winners below: bucket = hash(keys) is constant within a
+        # key group, so computing it per event only widened the reduce
+        # shuffle and added a per-event murmur3 (measured ~6% of the reduce
+        # stage) without changing any winner.
+        flagged = flagged.withColumn(BUCKET_COL, key_bucket)
     drop_row = F.col("__below") | F.col("__invalid") | F.col("__late")
     has_ts = ts_col in batch.columns
     persisted = flagged
@@ -311,6 +318,9 @@ def apply_batch(
             reduced = lww_reduce_structmax(live, key_cols, list(version_cols))
         else:
             reduced = lww_reduce(live, key_cols, list(version_cols))
+        if lineage_level != "full":
+            # deferred bucket id: winners only (see the flagged comment)
+            reduced = reduced.withColumn(BUCKET_COL, key_bucket)
 
         # ---- finalize transforms on WINNERS only (not on every event) ----
         if finalize_fn is not None:
@@ -319,18 +329,23 @@ def apply_batch(
                            and c != BUCKET_COL]
 
         reduced_persisted = None
+        reduced_count = None
         if lineage_level != "full" and snap["bucket_dirs"]:
             # summary mode used touched = ALL buckets, making every
             # incremental batch O(table): rewrite of every bucket.  The
             # winner set is tiny post-reduce, so persist it and read the
             # actually-touched buckets off it — merge cost returns to
             # O(touched).  (Skipped when the table is empty: the pure-upsert
-            # path below never reads target buckets at all.)
+            # path below never reads target buckets at all.)  One
+            # groupBy(bucket) job yields BOTH the touched set and the winner
+            # count the auto mode-pick needs — previously two full jobs per
+            # incremental batch.
             reduced_persisted = reduced.persist()
-            touched = sorted(
-                r[0]
-                for r in reduced_persisted.select(BUCKET_COL).distinct().collect()
+            bucket_counts = (
+                reduced_persisted.groupBy(BUCKET_COL).count().collect()
             )
+            touched = sorted(int(r[0]) for r in bucket_counts)
+            reduced_count = sum(int(r["count"]) for r in bucket_counts)
 
         # ---- schema evolution pre-pass (transactional with this commit) --
         from pyspark.sql import types as T
@@ -375,8 +390,8 @@ def apply_batch(
             base_rows = table.base_row_count()
             if lineage_level == "full":
                 est = total_read - total_dropped  # live rows ≥ winners
-            elif reduced_persisted is not None:
-                est = reduced_persisted.count()  # already cached above
+            elif reduced_count is not None:
+                est = reduced_count  # from the touched-buckets job above
             else:
                 est = None
             if base_rows and est is not None and est < delta_fraction * base_rows:
