@@ -962,18 +962,10 @@ def embedding_neardup_lsh(
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    buckets = F.array(*[
-        S.hyperplane_bucket(
-            F.col("vec"), n_planes=n_planes, dim=dim, seed=seed + 1000 * t,
-            hash_fn=hash_fn,
-        )
-        for t in range(n_tables)
-    ])
-    src = fanout(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
-    b = (
-        src.select("id", "vec", F.posexplode_outer(buckets).alias("table", "bucket"))
-        .repartition("table", "bucket")
-    )
+    b = S.bucket_frame(
+        df, id_col, vec_col, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        seed=seed, hash_fn=hash_fn, carry_vec=True,
+    ).repartition("table", "bucket")
 
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),

