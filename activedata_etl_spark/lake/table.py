@@ -313,10 +313,19 @@ class SnapshotTable:
         Watermarks and batch_id roll back WITH the data on purpose: the
         exactly-once fence must describe the restored state, so the next
         :func:`replay_journal` re-applies exactly the events the rollback
-        discarded — state and fence can never disagree.  Sync/export
-        cursors in properties also revert (downstream consumers re-receive
-        the rolled-back range — idempotent by the LWW merge contract);
-        tags are re-merged from the current snapshot so refs never vanish.
+        discarded — state and fence can never disagree.  Export/sync
+        cursors (``es_export_*`` / ``jsonl_export_*`` / ``synced_version``)
+        are STRIPPED, not reverted: external artifacts do not roll back
+        with the table, so a merely-reverted cursor would make the next
+        incremental export diff old-cursor-version against the restored
+        head and skip content-matching buckets — leaving on-disk JSONL
+        shards permanently stale vs the documented full-export equality.
+        Dropping the cursor forces the next incremental call to perform a
+        full re-export.  NOTE for versioned ES indexes: ``external_gte``
+        REJECTS the re-sent older versions, so the index stays at the
+        rolled-back-away state — reindex (or delete-by-query) after a
+        rollback.  Tags are re-merged from the current snapshot so refs
+        never vanish.
 
         The target snapshot file must still exist (``expire_snapshots``
         prunes old untagged versions — tag a version to make it a durable
@@ -337,6 +346,13 @@ class SnapshotTable:
             new["parent"] = cur["version"]
             new["ts_ms"] = int(time.time() * 1000)
             props = dict(tgt.get("properties", {}))
+            # strip export/sync cursors (see docstring: external artifacts
+            # don't revert, so the next incremental export must start from
+            # scratch rather than diff against a version it never shipped)
+            for k in list(props):
+                if k.startswith(("es_export_", "jsonl_export_")) \
+                        or k in ("synced_version", "sync_source"):
+                    del props[k]
             tags = dict(props.get("tags", {}),
                         **cur.get("properties", {}).get("tags", {}))
             if tags:

@@ -90,6 +90,18 @@ def asof_join(
     if clash:
         raise ValueError(f"suffixed output columns clash with left: {clash}")
 
+    if tiebreak is not None:
+        tb_dtype = dict(right.dtypes).get(tiebreak)
+        if tb_dtype not in ("tinyint", "smallint", "int", "bigint"):
+            # the tiebreak rides as cast('long'); a string/UUID sequence
+            # column silently becomes null under non-ANSI casts (voiding
+            # the deterministic-tie guarantee) or aborts under ANSI — fail
+            # loudly instead (sampling._id_residue's dtype-guard discipline)
+            raise TypeError(
+                f"asof_join tiebreak column {tiebreak!r} must be an integer "
+                f"type, got {tb_dtype!r}; derive an integer sequence (e.g. "
+                "a monotonically increasing id) or drop the tiebreak"
+            )
     payload = F.struct(
         F.col(rt).alias("__t"),
         *[F.col(c).alias(c) for c in payload_cols],
@@ -197,7 +209,16 @@ def sessionize(
         )
     else:
         fresh = (F.col(time_col) - prev) > F.lit(gap)
-    new_session = prev.isNull() | F.coalesce(fresh, F.lit(False))
+    # gate on row_number()==1, NOT prev.isNull(): lag() is also null when
+    # the PREVIOUS ROW's time is null, so with null-time rows present every
+    # such row (and the first real-time row after them) would start its own
+    # session — contradicting the documented "null times join the key's
+    # first session" and shifting every later session id.  ``fresh`` stays
+    # null (-> false) whenever either side is null, so null-time rows and
+    # the first real row extend session 1.
+    new_session = (F.row_number().over(w_lag) == 1) | F.coalesce(
+        fresh, F.lit(False)
+    )
     return df.withColumn(
         out_col, F.sum(new_session.cast("int")).over(w_run)
     )

@@ -2364,15 +2364,17 @@ def q39_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     base_n = F.count("total_value").over(w)
     mean = F.avg("total_value").over(w)
     sd = F.stddev_samp("total_value").over(w)
-    z = F.when(
+    z_raw = F.when(
         (base_n >= 3) & (sd > 0),
-        F.round((F.col("total_value") - mean) / sd, 6),
+        (F.col("total_value") - mean) / sd,
     )
     return (
         daily.select(
             "user_id", "bucket", "total_value",
-            z.alias("z"),
-            F.coalesce(z >= 2.0, F.lit(False)).alias("is_anomaly"),
+            F.round(z_raw, 6).alias("z"),
+            # flag from the UNROUNDED z, exactly like the oracle: a true z
+            # in [1.9999995, 2.0) must not round up into an anomaly
+            F.coalesce(z_raw >= 2.0, F.lit(False)).alias("is_anomaly"),
         )
         .orderBy("user_id", "bucket")
     )

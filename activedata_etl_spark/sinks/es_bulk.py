@@ -58,7 +58,7 @@ def bulk_action_lines(
     *,
     id_cols: tuple[str, ...] = ("repo", "path"),
     version_cols: tuple[str, ...] = ("commit_seq", "offset"),
-    version_scale: int | None = None,
+    version_scale: int = 1_000_000,
 ) -> DataFrame:
     """One output row per document: (action_line, source_line).
 
@@ -77,9 +77,14 @@ def bulk_action_lines(
       version tuple is collapsed as ``first * scale + second``.  The
       collapse is only monotone while ``second < version_scale``, so rows
       violating it raise instead of silently writing a version that ES
-      would judge stale.  ``version_scale=None`` (the default) sizes the
-      scale from the data itself (``auto_version_scale``); an explicit
-      value skips the sizing scan but keeps the loud overflow guard.
+      would judge stale.  The default scale is FIXED at 1_000_000: a
+      standalone render has no persisted state, so a data-sized scale
+      could legally SHRINK between two exports to the same index and a
+      genuinely newer doc would collapse to a lower version than one
+      already indexed — silently rejected by external_gte.  Offsets past
+      the fixed scale raise loudly; pass an explicit larger scale (and
+      keep it stable for that index), or use ``export_changes``, whose
+      snapshot-persisted max makes auto-sizing monotone.
     """
     version_scale = _resolve_scale(df, version_cols, version_scale)
     _id, version = _id_and_version(id_cols, version_cols, version_scale)
@@ -148,7 +153,7 @@ def change_bulk_lines(
     *,
     id_cols: tuple[str, ...] = ("repo", "path"),
     version_cols: tuple[str, ...] = ("commit_seq", "offset"),
-    version_scale: int | None = None,
+    version_scale: int = 1_000_000,
 ) -> DataFrame:
     """Render a CHANGE FEED (`SnapshotTable.changes(..., deletes='tombstone')`)
     as `_bulk` lines: insert/update rows become versioned `index`
@@ -156,7 +161,9 @@ def change_bulk_lines(
     source line — `source_line` is null).  The tombstone feed carries the
     DELETE's own version columns, so a replayed range re-sends byte-identical
     actions and `external_gte` makes the POST idempotent — deletes included.
-    ``version_scale=None`` auto-sizes from the feed (``auto_version_scale``).
+    The default scale is FIXED at 1_000_000 (see ``bulk_action_lines`` —
+    a standalone render must not auto-size); ``export_changes`` passes its
+    snapshot-persisted, never-shrinking scale explicitly.
     """
     version_scale = _resolve_scale(feed, version_cols, version_scale)
     _id, version = _id_and_version(id_cols, version_cols, version_scale)
@@ -288,7 +295,7 @@ def write_bulk_files(
     *,
     id_cols: tuple[str, ...] = ("repo", "path"),
     version_cols: tuple[str, ...] = ("commit_seq", "offset"),
-    version_scale: int | None = None,
+    version_scale: int = 1_000_000,
     batch_size: int = 5000,
 ) -> None:
     """Render `_bulk` bodies as text part-files: alternating action/source

@@ -1448,6 +1448,59 @@ def test_rollback_restores_state_and_fence(spark, tmp_path):
         table.rollback(table.current_version() + 5)
 
 
+def test_rollback_strips_export_cursors_and_full_reexport(spark, tmp_path):
+    """rollback STRIPS export/sync cursors instead of reverting them:
+    external artifacts (published JSONL shards) do not roll back with the
+    table, so a reverted cursor would diff old-cursor vs restored-head and
+    skip content-matching shards — the next incremental export must be a
+    FULL re-export, byte-identical to a fresh full export of the restored
+    state."""
+    import glob
+    import gzip
+
+    from activedata_etl_spark.sinks.jsonl_export import (
+        export_jsonl_changes,
+        export_jsonl_shards,
+    )
+
+    loc = str(tmp_path / "lake_rbx")
+    table = _mk_base(spark, loc, n=12)
+    v1 = table.current_version()
+    out = str(tmp_path / "pub_rbx")
+    s0 = export_jsonl_changes(table, out, id_col="path", n_shards=4)
+    assert s0["full"] is True
+
+    b1 = spark.createDataFrame(
+        [(0, 100, 100, "update", "r", "f3.py", "d" * 12, None, "ROLLME",
+          None, "100644")],
+        COLS_V2,
+    )
+    apply_batch(table, _norm(b1), 1)
+    export_jsonl_changes(table, out, id_col="path", n_shards=4)
+
+    table.rollback(v1)
+    props = table.snapshot().get("properties", {})
+    assert not any(k.startswith(("jsonl_export_", "es_export_"))
+                   for k in props), props
+
+    # next incremental call performs a full re-export of the restored state
+    s2 = export_jsonl_changes(table, out, id_col="path", n_shards=4)
+    assert s2["full"] is True
+
+    ref = str(tmp_path / "pub_ref")
+    export_jsonl_shards(table.read(), ref, id_col="path", n_shards=4)
+
+    def lines(base):
+        d = {}
+        for fn in glob.glob(f"{base}/data/shard=*/part-*"):
+            with gzip.open(fn, "rt") as f:
+                d.setdefault(fn.split("shard=")[1].split("/")[0], []).extend(
+                    f.read().splitlines())
+        return d
+
+    assert lines(out) == lines(ref)
+
+
 def test_tags_pin_versions_through_expiry(spark, tmp_path):
     """A tagged snapshot survives expire_snapshots; reads and rollback
     resolve the tag name; drop_tag releases it for expiry."""

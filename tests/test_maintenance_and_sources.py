@@ -245,8 +245,7 @@ def test_bulk_files_respect_batch_contract(spark, tmp_path):
     """Every part file holds <= batch_size docs (one file = one POST-able
     bulk body) with NO sizing count(): 9999 docs at batch 5000 used to land
     in one 9999-doc file via floor division, after a full extra scan.
-    With an EXPLICIT version_scale the export is exactly one job; the auto
-    default pays one extra column-pruned max() job to size the scale."""
+    The fixed-scale default is also exactly one job (no sizing scan)."""
     import glob
 
     from activedata_etl_spark.sinks.es_bulk import write_bulk_files
@@ -270,14 +269,16 @@ def test_bulk_files_respect_batch_contract(spark, tmp_path):
     ]
     assert sum(counts) == 9999
     assert max(counts) <= 5000
-    # auto scale: same file contract, bounded extra work (the sizing agg)
+    # default (fixed) scale: same file contract, still exactly one job —
+    # standalone renders never auto-size (a data-sized scale could shrink
+    # between exports and external_gte would silently reject newer docs)
     out2 = str(tmp_path / "bulk9999_auto")
     sc.setJobGroup("bulk_write_auto", "")
     try:
         write_bulk_files(df, out2, batch_size=5000)
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
-    assert len(sc.statusTracker().getJobIdsForGroup("bulk_write_auto")) <= 3
+    assert len(sc.statusTracker().getJobIdsForGroup("bulk_write_auto")) == 1
     counts2 = [
         sum(1 for _ in open(f)) // 2 for f in glob.glob(out2 + "/part-*")
     ]
@@ -482,9 +483,10 @@ def test_es_bulk_formatter(spark, tmp_path):
     # key column, so which-column-is-null is explicit in the id itself
     assert {"repo": None, "path": "x"} in [json.loads(i) for i in ids]
     assert {"repo": "x", "path": None} in [json.loads(i) for i in ids]
-    # an EXPLICIT too-small scale must raise, not write a stale-looking
-    # version; the auto default (None) sizes the scale from the data
-    # instead, so north-scale journals (offsets >> 1e6) export cleanly
+    # a too-small scale must raise, not write a stale-looking version —
+    # including the FIXED default (standalone renders never auto-size:
+    # two calls could resolve different scales and a shrink silently
+    # loses newer docs to external_gte); an explicit larger scale works
     import pytest as _pytest
 
     big = spark.createDataFrame(
@@ -493,10 +495,13 @@ def test_es_bulk_formatter(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="version overflow"):
         bulk_action_lines(big, version_scale=1_000_000).collect()
-    auto = json.loads(
-        bulk_action_lines(big).collect()[0]["action_line"]
+    with _pytest.raises(Exception, match="version overflow"):
+        bulk_action_lines(big).collect()
+    explicit = json.loads(
+        bulk_action_lines(big, version_scale=10_000_000)
+        .collect()[0]["action_line"]
     )
-    assert auto["index"]["version"] == 1 * 10_000_000 + 2_000_000
+    assert explicit["index"]["version"] == 1 * 10_000_000 + 2_000_000
     s0 = json.loads(rows[0]["source_line"])
     assert s0 == {"repo": "r1", "path": "a.py", "commit_seq": 5, "offset": 2,
                   "content": "X"}

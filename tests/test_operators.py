@@ -1159,8 +1159,11 @@ def test_sessionize_gap_semantics(spark):
     }
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == 2
-    assert out[5] == 2 and out[6] == 3   # null-t row 7 is v's FIRST row
-    assert out[7] == 1
+    # null-t row 7 sorts first and joins v's FIRST session, and the first
+    # REAL row does not start a fresh one (ADVICE r5: only row_number()==1
+    # or an exceeded gap opens a session — lag() is null both for "no
+    # previous row" and "previous row had null time")
+    assert out[7] == 1 and out[5] == 1 and out[6] == 2
     with pytest.raises(ValueError, match="already exists"):
         sessionize(df.withColumnRenamed("eid", "session_id"), "k", "t", 10)
 
