@@ -182,19 +182,7 @@ def ngram_jaccard_pairs(
     # subtree at sf0.1 and its per-branch variants defeated AQE stage reuse.
     # shingled() guarantees sh is non-null and non-empty, so _outer is
     # row-identical and generates no inferred predicates.
-    # localCheckpoint on top of the explicit exchange: the exploded frame
-    # feeds the freq cap, the capped join, BOTH self-join sides and the size
-    # counts, and AQE's coalesced shuffle reads stop counting as
-    # hash-partitioned for the downstream self-join — the event-log profile
-    # showed the explode exchange re-running up to 4x (two extra 51 MB
-    # side shuffles).  The checkpoint materializes the same bytes the
-    # shuffle already spills and PRESERVES the shingle partitioning, so
-    # every consumer reads it once, co-partitioned.
-    ex0 = (
-        sh.select("id", F.explode_outer("sh").alias("shingle"))
-        .repartition("shingle")
-        .localCheckpoint()
-    )
+    ex0 = sh.select("id", F.explode_outer("sh").alias("shingle")).repartition("shingle")
     ex = ex0
     if max_shingle_freq is not None:
         freq = ex0.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
@@ -242,27 +230,15 @@ def ngram_jaccard_pairs(
     ub = F.col("__c") + F.least(
         F.col("__nfa") - F.col("__nca"), F.col("__nfb") - F.col("__ncb")
     )
-    # materialize the pruned candidate list (tiny) and re-shingle ONLY the
-    # candidate docs for the exact verify: the full-corpus verify re-ran the
-    # whole shingle subtree plus a 38 MB id-keyed exchange per side at
-    # sf1.0, and at 10^10 docs it is the difference between an
-    # O(candidates) verify and an O(corpus) one.  Scores still come from
-    # the candidates' FULL shingle sets — output unchanged.
     cand = (
         pc.join(sza, "id_a").join(szb, "id_b")
         .where(ub / (F.col("__nfa") + F.col("__nfb") - ub) >= threshold - 1e-6)
         .select("id_a", "id_b")
-        .localCheckpoint()
     )
-    cid = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    shr = shingled(
-        df.join(cid, id_col, "left_semi").select(*df.columns),
-        id_col, text_col, n,
-    ).repartition("id")
+    # ONE id-keyed exchange feeds BOTH verify joins: shingling is a per-row
+    # HOF subtree with no exchange of its own, so without this each join
+    # side re-tokenizes the whole corpus (the round-2 no-CSE lesson)
+    shr = sh.repartition("id")
     sa = shr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -411,21 +387,12 @@ def minhash_lsh_pairs(
     )
     if not verify_exact:
         return cand
-    # verify ONLY the candidate pairs, and shingle ONLY the candidate DOCS:
-    # the candidate list is materialized (tiny), its ids semi-join the
-    # corpus, and one id-keyed exchange feeds both verify sides.  The
-    # previous full-corpus re-shingle was O(corpus) per verify (the same
-    # narrowing ngram_jaccard_pairs and incremental_dedup use).
-    cand = cand.localCheckpoint()
-    cid = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = shingled(
-        df.join(cid, id_col, "left_semi").select(*df.columns),
-        id_col, text_col, n,
-    ).repartition("id")
+    # verify ONLY the candidate pairs: join each side's (distinct) shingle
+    # set and compute Jaccard via array_intersect — O(candidates), not
+    # O(all-pairs-sharing-a-shingle)
+    # one id-keyed exchange feeds BOTH verify sides (shingling is a per-row
+    # HOF subtree with no exchange of its own — same fix as ngram_jaccard)
+    sh = shingled(df, id_col, text_col, n).repartition("id")
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
