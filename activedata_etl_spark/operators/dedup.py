@@ -589,6 +589,10 @@ def simhash(
             toks.select("tok").distinct()
             .select("tok", (base60(F.col("tok")) % MIX_P).alias("__bm"))
             .distinct()
+            # (a repartition here to parallelize the 63-way mask projection
+            # was measured 3x WORSE: it cost the vocab its broadcast-join
+            # plan and the exploded token frame got shuffled instead; the
+            # ~2.6 s single-task mask stage is the cheaper evil)
         )
         mask = None
         for b, (a, c) in enumerate(mix_consts(seed, 63)):
