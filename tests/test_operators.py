@@ -1465,3 +1465,58 @@ def test_resample_timestamps_and_single_agg_shuffle(spark):
     rows_out = out.orderBy("bucket").collect()
     assert [r["n"] for r in rows_out] == [1, 0, 1]   # Jan 2 is a gap
     assert rows_out[0]["bucket"] * 86400.0 == rows_out[0]["bucket_start"]
+
+
+def test_bucket_frame_numpy_matches_jvm_expressions(spark):
+    """The Arrow/numpy mix31 bucket assignment (r6 optimization) must agree
+    bit-for-bit with the JVM hyperplane expressions it replaced — the
+    candidate set is bucket-defined, so any sign disagreement would change
+    declared results."""
+    from activedata_etl_spark.operators.similarity import (
+        bucket_frame,
+        hyperplane_bucket,
+        probe_dim,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = probe_dim(emb, "embedding")
+    got = {
+        (r["id"], r["table"]): r["bucket"]
+        for r in bucket_frame(
+            emb, "vec_id", "embedding", n_planes=6, n_tables=4, dim=dim,
+            seed=23, hash_fn="mix31",
+        ).collect()
+    }
+    jvm = emb.select(
+        F.col("vec_id").alias("id"),
+        *[
+            hyperplane_bucket(
+                F.col("embedding"), n_planes=6, dim=dim,
+                seed=23 + 1000 * t, hash_fn="mix31",
+            ).alias(f"b{t}")
+            for t in range(4)
+        ],
+    ).collect()
+    want = {(r["id"], t): r[f"b{t}"] for r in jvm for t in range(4)}
+    assert got == want
+
+
+def test_simhash_canonical_band_matches_distinct_path(spark):
+    """The r6 canonical-first-band emission (no-cap path) must yield the
+    same pair set as the distinct-based path (forced via a non-binding
+    frequency cap)."""
+    from activedata_etl_spark.operators.dedup import simhash_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where(F.col("doc_id") < 200)
+    canonical = simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, hash_fn="mix31",
+        max_band_freq=None,
+    )
+    distinct_path = simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, hash_fn="mix31",
+        max_band_freq=10**9,  # cap never binds -> identical semantics
+    )
+    a = {tuple(r) for r in canonical.collect()}
+    b = {tuple(r) for r in distinct_path.collect()}
+    assert a == b and len(a) > 0
