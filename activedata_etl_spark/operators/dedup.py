@@ -910,9 +910,11 @@ def embedding_neardup_lsh(
     hash_fn "mix31" makes bucketing reproducible in ANSI SQL (DuckDB
     oracle); "xxhash64" is the fast default.
 
-    Physical shape (guide §4.2): bucket assignment stays a JVM expression
-    (it DEFINES the candidate set and must match the oracle bit-for-bit),
-    but scoring runs as one BLAS matmul per (table, bucket) group via
+    Physical shape (guide §4.2): bucket assignment goes through
+    ``similarity.bucket_frame`` (one numpy matmul per Arrow batch on the
+    mix31 path — sign-equality with the JVM expressions it replaced is
+    regression-tested, since the buckets DEFINE the candidate set), and
+    scoring runs as one BLAS matmul per (table, bucket) group via
     ``applyInPandas`` — the same tiling kernel as the exact operator.  The
     previous per-pair Catalyst-HOF dot walked every candidate pair through
     an interpreted 64-element aggregate (~n²/2^n_planes pairs; 57 s at
